@@ -1,0 +1,191 @@
+"""StableTTS top model: encoder + reference encoder + duration predictor +
+flow-matching decoder, with MAS alignment and CFG training dropout
+(reference: models/model.py:30-178)."""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from stabletts_tpu.models.duration_predictor import DurationPredictor, duration_loss
+from stabletts_tpu.models.flow_matching import CFMDecoder
+from stabletts_tpu.models.reference_encoder import MelStyleEncoder
+from stabletts_tpu.models.text_encoder import TextEncoder
+from stabletts_tpu.ops.mas import maximum_path
+from stabletts_tpu.ops.mask import sequence_mask
+
+_LOG_2PI = math.log(2 * math.pi)
+
+
+def generate_path(duration: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """duration: [B, Tx] (possibly fractional after length_scale), mask:
+    [B, Tx, Ty] -> hard monotonic alignment path [B, Tx, Ty]
+    (reference: models/model.py:17-27)."""
+    t_y = mask.shape[2]
+    cum_duration = jnp.cumsum(duration, axis=1)  # [B, Tx]
+    pos = jnp.arange(t_y, dtype=cum_duration.dtype)
+    path = (pos[None, None, :] < cum_duration[:, :, None]).astype(mask.dtype)
+    path = path - jnp.pad(path, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+    return path * mask
+
+
+class StableTTS(nn.Module):
+    n_vocab: int
+    mel_channels: int
+    hidden_channels: int = 256
+    filter_channels: int = 1024
+    n_heads: int = 4
+    n_enc_layers: int = 3
+    n_dec_layers: int = 6
+    kernel_size: int = 3
+    p_dropout: float = 0.1
+    gin_channels: int = 256
+    cfg_dropout: float = 0.2
+
+    def setup(self):
+        self.encoder = TextEncoder(
+            self.n_vocab,
+            self.mel_channels,
+            self.hidden_channels,
+            self.filter_channels,
+            self.n_heads,
+            self.n_enc_layers,
+            self.kernel_size,
+            self.p_dropout,
+            self.gin_channels,
+        )
+        self.ref_encoder = MelStyleEncoder(
+            n_mel_channels=self.mel_channels,
+            style_vector_dim=self.gin_channels,
+            style_kernel_size=5,
+            dropout=0.25,
+        )
+        self.dp = DurationPredictor(
+            self.hidden_channels, self.filter_channels, self.kernel_size, 0.5, self.gin_channels
+        )
+        self.decoder = CFMDecoder(
+            self.mel_channels,
+            self.mel_channels,
+            self.hidden_channels,
+            self.mel_channels,
+            self.filter_channels,
+            self.n_heads,
+            self.n_dec_layers,
+            self.kernel_size,
+            self.p_dropout,
+            self.gin_channels,
+        )
+        # learned unconditional embeddings for CFG (model.py:43-46)
+        self.fake_speaker = self.param("fake_speaker", nn.initializers.zeros, (1, self.gin_channels))
+        self.fake_content = self.param("fake_content", nn.initializers.zeros, (1, self.mel_channels))
+
+    def prepare_synthesis(
+        self,
+        x: jnp.ndarray,
+        x_lengths: jnp.ndarray,
+        y_ref: jnp.ndarray,
+        max_mel_len: int,
+        length_scale: float = 1.0,
+    ) -> dict:
+        """Encoder half of synthesise (reference: models/model.py:77-96).
+
+        Text ids [B, Tx] + reference mel [B, Tref, n_mels] -> aligned encoder
+        output mu_y [B, max_mel_len, n_mels], style vector c, masks. The static
+        `max_mel_len` replaces the reference's data-dependent y_max_length
+        (model.py:83-91) so everything jit-compiles with static shapes;
+        y_lengths reports the true (clipped) lengths for host-side trimming.
+        """
+        c = self.ref_encoder(y_ref, None, True)
+        x, mu_x, x_mask = self.encoder(x, c, x_lengths, True)
+        logw = self.dp(x, x_mask, c, True)  # [B, Tx, 1]
+
+        w = jnp.exp(logw) * x_mask[..., None]
+        w_ceil = jnp.ceil(w) * length_scale
+        y_lengths = jnp.clip(jnp.sum(w_ceil, axis=(1, 2)), 1, max_mel_len).astype(jnp.int32)
+
+        y_mask = sequence_mask(y_lengths, max_mel_len, dtype=x_mask.dtype)
+        attn_mask = x_mask[:, :, None] * y_mask[:, None, :]  # [B, Tx, Ty]
+        attn = generate_path(w_ceil[..., 0], attn_mask)
+
+        mu_y = jnp.einsum("bxy,bxc->byc", attn, mu_x)  # aligned encoder output
+        return {
+            "mu_y": mu_y,
+            "c": c,
+            "y_mask": y_mask,
+            "y_lengths": y_lengths,
+            "attn": attn,
+        }
+
+    def velocity(self, t, xt, y_mask, mu, c):
+        """Conditional velocity field for the ODE sampler. t: [B]."""
+        return self.decoder(t, xt, y_mask, mu, c, True)
+
+    def cfg_velocity(self, t, xt, y_mask, mu, c, cfg_strength):
+        """Classifier-free-guided velocity: uncond + s * (cond - uncond)
+        (reference: models/flow_matching.py:58-67)."""
+        b, t_len = mu.shape[0], mu.shape[1]
+        fake_c = jnp.broadcast_to(self.fake_speaker, (b, self.gin_channels))
+        fake_mu = jnp.broadcast_to(self.fake_content[:, None, :], (b, t_len, self.mel_channels))
+        cond = self.decoder(t, xt, y_mask, mu, c, True)
+        uncond = self.decoder(t, xt, y_mask, fake_mu, fake_c, True)
+        return uncond + cfg_strength * (cond - uncond)
+
+    def __call__(self, x, x_lengths, y, y_lengths, z, z_lengths, deterministic: bool = False):
+        """Training forward: returns (dur_loss, diff_loss, prior_loss, attn)
+        (reference: models/model.py:114-178).
+
+        x: [B, Tx] ids; y: [B, Ty, n_mels] target mel; z: [B, Tz, n_mels]
+        sliced reference mel. Uses rng streams 'cfg', 'time', 'noise' (and
+        linen's 'dropout' when not deterministic).
+        """
+        b = y.shape[0]
+        y_mask = sequence_mask(y_lengths, y.shape[1], dtype=y.dtype)
+        z_mask = sequence_mask(z_lengths, z.shape[1], dtype=z.dtype)
+
+        if deterministic:
+            cfg_mask = jnp.ones((b, 1), dtype=y.dtype)
+        else:
+            cfg_mask = (
+                jax.random.uniform(self.make_rng("cfg"), (b, 1)) > self.cfg_dropout
+            ).astype(y.dtype)
+
+        c = self.ref_encoder(z, z_mask, deterministic)
+        c = c * cfg_mask + (1 - cfg_mask) * self.fake_speaker
+
+        x, mu_x, x_mask = self.encoder(x, c, x_lengths, deterministic)
+        logw = self.dp(x, x_mask, c, deterministic)  # [B, Tx, 1]
+
+        # MAS target (no gradient): Gaussian log-likelihood of each (mel, text)
+        # pair with unit variance (model.py:149-158)
+        neg_cent = (
+            -0.5 * _LOG_2PI * self.mel_channels
+            - 0.5 * jnp.sum(y ** 2, axis=-1, keepdims=True)  # [B, Ty, 1]
+            + jnp.einsum("byd,bxd->byx", y, mu_x)
+            - 0.5 * jnp.sum(mu_x ** 2, axis=-1)[:, None, :]  # [B, 1, Tx]
+        )
+        attn_mask_yx = y_mask[:, :, None] * x_mask[:, None, :]  # [B, Ty, Tx]
+        attn = jax.lax.stop_gradient(maximum_path(jax.lax.stop_gradient(neg_cent), attn_mask_yx))
+        attn = attn.astype(y.dtype)
+
+        logw_ = jnp.log(1e-8 + jnp.sum(attn, axis=1))[..., None] * x_mask[..., None]
+        dur = duration_loss(logw, logw_, x_lengths)
+
+        mu_y = jnp.einsum("byx,bxd->byd", attn, mu_x)  # [B, Ty, n_mels]
+
+        cfg_mask3 = cfg_mask[..., None]
+        mu_y_masked = mu_y * cfg_mask3 + (1 - cfg_mask3) * self.fake_content[:, None, :]
+
+        t_rand = jax.random.uniform(self.make_rng("time"), (b,), dtype=y.dtype)
+        noise = jax.random.normal(self.make_rng("noise"), y.shape, dtype=y.dtype)
+        diff, _ = self.decoder.compute_loss(
+            y, y_mask, mu_y_masked, c, t_rand, noise, deterministic
+        )
+
+        prior = jnp.sum(0.5 * ((y - mu_y) ** 2 + _LOG_2PI) * y_mask[..., None])
+        prior = prior / (jnp.sum(y_mask) * self.mel_channels)
+
+        return dur, diff, prior, attn

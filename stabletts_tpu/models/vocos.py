@@ -1,0 +1,100 @@
+"""Vocos vocoder: ConvNeXt backbone + ISTFT head, mel -> waveform in one
+forward pass (reference: vocoders/vocos/models/{model,backbone,module,head}.py).
+
+Layout: mel input is channels-last [B, T, n_mels]; output waveform [B, T*hop].
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from stabletts_tpu.config import MelConfig, VocosConfig
+from stabletts_tpu.ops.istft import istft_same
+
+
+class ConvNeXtBlock(nn.Module):
+    """1D ConvNeXt block: depthwise conv k=7 -> LN -> pointwise MLP with GELU
+    -> layer scale -> residual (reference: vocoders/vocos/models/module.py:5-46)."""
+
+    dim: int
+    intermediate_dim: int
+    layer_scale_init_value: float
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        x = nn.Conv(self.dim, (7,), padding="SAME", feature_group_count=self.dim, name="dwconv")(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        x = nn.Dense(self.intermediate_dim, name="pwconv1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.dim, name="pwconv2")(x)
+        if self.layer_scale_init_value > 0:
+            gamma = self.param(
+                "gamma",
+                nn.initializers.constant(self.layer_scale_init_value),
+                (self.dim,),
+            )
+            x = gamma * x
+        return residual + x
+
+
+class VocosBackbone(nn.Module):
+    """(reference: vocoders/vocos/models/backbone.py:8-57)."""
+
+    input_channels: int
+    dim: int
+    intermediate_dim: int
+    num_layers: int
+    layer_scale_init_value: float | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.layer_scale_init_value or 1.0 / self.num_layers
+        x = nn.Conv(self.dim, (7,), padding="SAME", name="embed")(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        for i in range(self.num_layers):
+            x = ConvNeXtBlock(self.dim, self.intermediate_dim, scale, name=f"convnext_{i}")(x)
+        return nn.LayerNorm(epsilon=1e-6, name="final_layer_norm")(x)
+
+
+class ISTFTHead(nn.Module):
+    """Linear -> (log-mag, phase) -> complex spectrogram -> ISTFT
+    (reference: vocoders/vocos/models/head.py:75-118)."""
+
+    dim: int
+    n_fft: int
+    hop_length: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.n_fft + 2, name="out")(x)  # [B, T, n_fft + 2]
+        mag, p = jnp.split(x, 2, axis=-1)
+        mag = jnp.exp(mag)
+        mag = jnp.clip(mag, max=1e2)
+        # build the complex spectrum from real parts: this TPU backend supports
+        # FFTs and lax.complex but not complex elementwise arithmetic
+        spec = jax.lax.complex(mag * jnp.cos(p), mag * jnp.sin(p))
+        return istft_same(spec, self.n_fft, self.hop_length, self.n_fft)
+
+
+class Vocos(nn.Module):
+    """(reference: vocoders/vocos/models/model.py:11-20)."""
+
+    vocos_config: VocosConfig
+    mel_config: MelConfig
+
+    @nn.compact
+    def __call__(self, mel):
+        """mel: [B, T, n_mels] log-mel -> waveform [B, T * hop_length]."""
+        x = VocosBackbone(
+            input_channels=self.vocos_config.input_channels,
+            dim=self.vocos_config.dim,
+            intermediate_dim=self.vocos_config.intermediate_dim,
+            num_layers=self.vocos_config.num_layers,
+            name="backbone",
+        )(mel)
+        return ISTFTHead(
+            self.vocos_config.dim, self.mel_config.n_fft, self.mel_config.hop_length, name="head"
+        )(x)

@@ -1,0 +1,207 @@
+"""Core transformer blocks for the DiT-Conv estimator and text encoder.
+
+Behavioral parity with the reference (models/diffusion_transformer.py:10-205):
+  * partial RoPE (rotary dim = head_dim / 2) in the labml "concatenated halves"
+    formulation
+  * adaLN-Zero 6-way modulation from the conditioning vector (zero-initialized)
+  * conv-based FFN (kernel 3) instead of an MLP
+  * additive -max attention bias from the padding mask
+
+Layout: all sequence tensors are channels-last [B, T, C]; conditioning vectors
+are [B, C]; masks are [B, T] floats. 1x1 convs are nn.Dense (pure MXU matmuls);
+k-tap convs are nn.Conv with SAME padding.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def rope_cache(seq_len: int, rotary_dim: int, base: float = 10_000.0, dtype=jnp.float32):
+    """cos/sin caches [T, rotary_dim] for partial RoPE.
+
+    theta_i = base^(-2i/d) for i in [0, d/2); cache rows are
+    [m*theta_0 .. m*theta_{d/2-1}, m*theta_0 .. m*theta_{d/2-1}]
+    (reference: models/diffusion_transformer.py:147-170).
+    """
+    half = rotary_dim // 2
+    theta = 1.0 / (base ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32) / rotary_dim))
+    idx_theta = jnp.arange(seq_len, dtype=jnp.float32)[:, None] * theta[None, :]  # [T, half]
+    idx_theta2 = jnp.concatenate([idx_theta, idx_theta], axis=1)  # [T, d]
+    return jnp.cos(idx_theta2).astype(dtype), jnp.sin(idx_theta2).astype(dtype)
+
+
+def apply_rope(x: jnp.ndarray, rotary_dim: int) -> jnp.ndarray:
+    """Apply partial RoPE to [B, T, H, Dh] (rotates the first rotary_dim features).
+
+    neg_half(x) = [-x[d/2:], x[:d/2]] (reference: diffusion_transformer.py:172-177).
+    """
+    cos, sin = rope_cache(x.shape[1], rotary_dim, dtype=x.dtype)
+    x_rope, x_pass = x[..., :rotary_dim], x[..., rotary_dim:]
+    half = rotary_dim // 2
+    neg_half = jnp.concatenate([-x_rope[..., half:], x_rope[..., :half]], axis=-1)
+    cs = cos[None, :, None, :]
+    sn = sin[None, :, None, :]
+    x_rope = x_rope * cs + neg_half * sn
+    return jnp.concatenate([x_rope, x_pass], axis=-1)
+
+
+def masked_sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """Scaled dot-product attention. q/k/v: [B, T, H, Dh]; bias: [B, 1, Tq, Tk]."""
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    if bias is not None:
+        logits = logits + bias
+    weights = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+
+
+class MultiHeadAttention(nn.Module):
+    """Self-attention with 1x1-conv projections and partial RoPE
+    (reference: models/diffusion_transformer.py:33-81)."""
+
+    channels: int
+    out_channels: int
+    n_heads: int
+    p_dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, attn_bias=None, deterministic: bool = True):
+        b, t, _ = x.shape
+        head_dim = self.channels // self.n_heads
+        rotary_dim = int(head_dim * 0.5)
+
+        q = nn.Dense(self.channels, name="conv_q")(x).reshape(b, t, self.n_heads, head_dim)
+        k = nn.Dense(self.channels, name="conv_k")(x).reshape(b, t, self.n_heads, head_dim)
+        v = nn.Dense(self.channels, name="conv_v")(x).reshape(b, t, self.n_heads, head_dim)
+
+        q = apply_rope(q, rotary_dim)
+        k = apply_rope(k, rotary_dim)
+
+        out = masked_sdpa(q, k, v, attn_bias)
+        out = out.reshape(b, t, self.channels)
+        return nn.Dense(self.out_channels, name="conv_o")(out)
+
+
+class FFN(nn.Module):
+    """Conv-based feed-forward (kernel 3), SiLU, masked at every conv boundary
+    (reference: models/diffusion_transformer.py:10-30)."""
+
+    out_channels: int
+    filter_channels: int
+    kernel_size: int = 3
+    p_dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        m = mask[..., None]
+        x = nn.Conv(self.filter_channels, (self.kernel_size,), padding="SAME", name="conv_1")(x * m)
+        x = nn.silu(x)
+        x = nn.Dropout(self.p_dropout)(x, deterministic=deterministic)
+        x = nn.Conv(self.out_channels, (self.kernel_size,), padding="SAME", name="conv_2")(x * m)
+        return x * m
+
+
+class DiTConVBlock(nn.Module):
+    """DiT block with adaLN-Zero conditioning and conv FFN
+    (reference: models/diffusion_transformer.py:84-122)."""
+
+    hidden_channels: int
+    filter_channels: int
+    num_heads: int
+    kernel_size: int = 3
+    p_dropout: float = 0.1
+    gin_channels: int = 0
+
+    @nn.compact
+    def __call__(self, x, c, mask, deterministic: bool = True):
+        """x: [B, T, C], c: [B, gin], mask: [B, T] -> [B, T, C]."""
+        from stabletts_tpu.ops.mask import attn_bias_from_mask
+
+        m = mask[..., None]
+        x = x * m
+        attn_bias = attn_bias_from_mask(mask, dtype=x.dtype)
+
+        h = c
+        if self.gin_channels != self.hidden_channels:
+            h = nn.Dense(self.hidden_channels, name="adaLN_proj")(h)
+        h = nn.silu(h)
+        # zero-init: adaLN-Zero makes the block the identity at init
+        mod = nn.Dense(
+            6 * self.hidden_channels,
+            name="adaLN_modulation",
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+        )(h)
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
+            mod[:, None, :], 6, axis=-1
+        )  # each [B, 1, C]
+
+        norm1 = nn.LayerNorm(use_scale=False, use_bias=False, epsilon=1e-5, name="norm1")
+        norm2 = nn.LayerNorm(use_scale=False, use_bias=False, epsilon=1e-5, name="norm2")
+
+        attn = MultiHeadAttention(
+            self.hidden_channels, self.hidden_channels, self.num_heads, self.p_dropout, name="attn"
+        )
+        mlp = FFN(
+            self.hidden_channels, self.filter_channels, self.kernel_size, self.p_dropout, name="mlp"
+        )
+
+        x = x + gate_msa * attn(
+            _modulate(norm1(x), shift_msa, scale_msa), attn_bias, deterministic
+        ) * m
+        x = x + gate_mlp * mlp(
+            _modulate(norm2(x), shift_mlp, scale_mlp), mask, deterministic
+        )
+        return x
+
+
+def _modulate(x, shift, scale):
+    return x * (1 + scale) + shift
+
+
+class FiLMLayer(nn.Module):
+    """Feature-wise linear modulation of x by a conditioning vector
+    (reference: models/estimator.py:20-33)."""
+
+    in_channels: int
+
+    @nn.compact
+    def __call__(self, x, c):
+        """x: [B, T, C], c: [B, cond] -> gamma * x + beta."""
+        gb = nn.Dense(2 * self.in_channels, name="film")(c)[:, None, :]
+        gamma, beta = jnp.split(gb, 2, axis=-1)
+        return gamma * x + beta
+
+
+def sinusoidal_pos_emb(t: jnp.ndarray, dim: int, scale: float = 1000.0) -> jnp.ndarray:
+    """[B] timesteps -> [B, dim] sinusoidal embedding
+    (reference: models/estimator.py:35-49)."""
+    half_dim = dim // 2
+    emb = math.log(10000.0) / (half_dim - 1)
+    freqs = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
+    args = scale * t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+class TimestepEmbedding(nn.Module):
+    """MLP over the sinusoidal embedding (reference: models/estimator.py:51-62)."""
+
+    out_channels: int
+    filter_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.filter_channels, name="layer_0")(x)
+        x = nn.silu(x)
+        return nn.Dense(self.out_channels, name="layer_2")(x)

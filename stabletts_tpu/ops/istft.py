@@ -1,0 +1,70 @@
+"""Inverse STFT with "same" padding for the Vocos head.
+
+Numerics replicate the reference's custom ISTFT (reference:
+vocoders/vocos/models/head.py:5-73): per-frame irfft (backward norm), windowing,
+overlap-add, division by the window envelope, then trimming
+pad = (win_length - hop_length) // 2 samples from both ends.
+
+The overlap-add is implemented without scatter when hop divides win (the shipped
+config has win = 4 * hop): each frame is split into win/hop hop-sized chunks and
+the chunks are summed as shifted dense signals — pure reshapes and adds, which
+XLA fuses into a handful of vectorized ops instead of a serial scatter.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from stabletts_tpu.ops.stft import hann_window
+
+
+def overlap_add(frames: jnp.ndarray, hop_length: int) -> jnp.ndarray:
+    """[B, T, win] frames -> [B, (T-1)*hop + win] overlap-added signal."""
+    b, t, win = frames.shape
+    out_len = (t - 1) * hop_length + win
+    if win % hop_length == 0:
+        r = win // hop_length
+        # chunk j of frame i lands at sample (i + j) * hop .. (i + j + 1) * hop
+        chunks = frames.reshape(b, t, r, hop_length)
+        out = jnp.zeros((b, out_len), dtype=frames.dtype)
+        for j in range(r):
+            sig = chunks[:, :, j, :].reshape(b, t * hop_length)
+            out = out.at[:, j * hop_length : j * hop_length + t * hop_length].add(sig)
+        return out
+    # general case: scatter-add
+    idx = (jnp.arange(t) * hop_length)[:, None] + jnp.arange(win)[None, :]
+    out = jnp.zeros((b, out_len), dtype=frames.dtype)
+    return out.at[:, idx.reshape(-1)].add(frames.reshape(b, -1))
+
+
+def window_envelope(window: np.ndarray, n_frames: int, hop_length: int) -> np.ndarray:
+    """Sum of squared windows at each output sample — host-side constant."""
+    win = window.shape[0]
+    out_len = (n_frames - 1) * hop_length + win
+    env = np.zeros(out_len, dtype=np.float64)
+    wsq = (window.astype(np.float64)) ** 2
+    for i in range(n_frames):
+        env[i * hop_length : i * hop_length + win] += wsq
+    return env.astype(window.dtype)
+
+
+def istft_same(spec: jnp.ndarray, n_fft: int, hop_length: int, win_length: int) -> jnp.ndarray:
+    """Complex spectrogram [B, T, n_freqs] -> waveform [B, T * hop_length].
+
+    "same"-padding ISTFT: output length is (T-1)*hop + win with
+    (win - hop) // 2 samples trimmed from each side, i.e. exactly T*hop samples
+    when win - hop is even (reference: vocoders/vocos/models/head.py:49-73).
+    """
+    window = hann_window(win_length)
+    pad = (win_length - hop_length) // 2
+    n_frames = spec.shape[1]
+
+    ifft = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # [B, T, n_fft], backward norm
+    ifft = ifft * jnp.asarray(window)
+    y = overlap_add(ifft, hop_length)  # [B, (T-1)*hop + win]
+
+    env = window_envelope(window, n_frames, hop_length)
+    assert (env[pad:-pad] > 1e-11).all(), "NOLA violated"
+    y = y[:, pad:-pad] / jnp.asarray(env[pad:-pad])
+    return y

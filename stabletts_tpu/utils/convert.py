@@ -1,0 +1,190 @@
+"""PyTorch checkpoint -> flax params converter.
+
+Maps the reference StableTTS / Vocos state-dict layouts (reference:
+models/model.py:30-46, vocoders/vocos/models/model.py:11-20) onto this
+framework's param trees. Works on plain numpy arrays so torch is only needed
+by the caller that loads the .pt file.
+
+Layout transforms:
+  torch Linear [out, in]        -> dense kernel [in, out]          (transpose)
+  torch Conv1d k=1 [out, in, 1] -> dense kernel [in, out]          (squeeze + T)
+  torch Conv1d k>1 [out, in, k] -> conv kernel [k, in, out]        (permute)
+  torch LayerNorm weight/bias   -> scale/bias
+  torch Embedding [V, C]        -> embedding
+  packed MHA in_proj [3C, C]    -> q/k/v dense kernels             (split + T)
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def _dense(w, b=None):
+    out = {"kernel": np.ascontiguousarray(w.squeeze(-1).T if w.ndim == 3 else w.T)}
+    if b is not None:
+        out["bias"] = b
+    return out
+
+
+def _conv(w, b=None):
+    out = {"kernel": np.ascontiguousarray(np.transpose(w, (2, 1, 0)))}
+    if b is not None:
+        out["bias"] = b
+    return out
+
+
+def _ln(w, b):
+    return {"scale": w, "bias": b}
+
+
+class _SD:
+    """Helper: typed access into a flat numpy state dict with consumption tracking."""
+
+    def __init__(self, sd: Dict[str, np.ndarray]):
+        self.sd = dict(sd)
+        self.used = set()
+
+    def __call__(self, key):
+        self.used.add(key)
+        return self.sd[key]
+
+    def has(self, key):
+        return key in self.sd
+
+    def dense(self, prefix):
+        b = self(f"{prefix}.bias") if self.has(f"{prefix}.bias") else None
+        return _dense(self(f"{prefix}.weight"), b)
+
+    def conv(self, prefix):
+        b = self(f"{prefix}.bias") if self.has(f"{prefix}.bias") else None
+        return _conv(self(f"{prefix}.weight"), b)
+
+    def ln(self, prefix):
+        return _ln(self(f"{prefix}.weight"), self(f"{prefix}.bias"))
+
+    def unused(self):
+        return sorted(set(self.sd) - self.used)
+
+
+def _convert_dit_block(sd: _SD, p: str) -> dict:
+    """One DiTConVBlock (reference: models/diffusion_transformer.py:84-122)."""
+    out = {
+        "attn": {
+            "conv_q": sd.dense(f"{p}.attn.conv_q"),
+            "conv_k": sd.dense(f"{p}.attn.conv_k"),
+            "conv_v": sd.dense(f"{p}.attn.conv_v"),
+            "conv_o": sd.dense(f"{p}.attn.conv_o"),
+        },
+        "mlp": {
+            "conv_1": sd.conv(f"{p}.mlp.conv_1"),
+            "conv_2": sd.conv(f"{p}.mlp.conv_2"),
+        },
+    }
+    # adaLN: [Identity|Linear, SiLU, Linear]
+    if sd.has(f"{p}.adaLN_modulation.0.weight"):
+        out["adaLN_proj"] = sd.dense(f"{p}.adaLN_modulation.0")
+    out["adaLN_modulation"] = sd.dense(f"{p}.adaLN_modulation.2")
+    return out
+
+
+def _convert_mel_style_encoder(sd: _SD, p: str) -> dict:
+    """MelStyleEncoder incl. packed-MHA split (reference: reference_encoder.py:25-92)."""
+    in_proj_w = sd(f"{p}.slf_attn.in_proj_weight")
+    in_proj_b = sd(f"{p}.slf_attn.in_proj_bias")
+    c = in_proj_w.shape[1]
+    qw, kw, vw = in_proj_w[:c], in_proj_w[c : 2 * c], in_proj_w[2 * c :]
+    qb, kb, vb = in_proj_b[:c], in_proj_b[c : 2 * c], in_proj_b[2 * c :]
+    return {
+        "spectral_0": sd.dense(f"{p}.spectral.0"),
+        "spectral_3": sd.dense(f"{p}.spectral.3"),
+        "temporal_0": {"conv1": sd.conv(f"{p}.temporal.0.conv1")},
+        "temporal_1": {"conv1": sd.conv(f"{p}.temporal.1.conv1")},
+        "slf_attn": {
+            "q_proj": _dense(qw, qb),
+            "k_proj": _dense(kw, kb),
+            "v_proj": _dense(vw, vb),
+            "out_proj": sd.dense(f"{p}.slf_attn.out_proj"),
+        },
+        "fc": sd.dense(f"{p}.fc"),
+    }
+
+
+def torch_to_flax_stabletts(state_dict: Dict[str, np.ndarray], n_enc_layers=3, n_dec_layers=6) -> dict:
+    """Reference StableTTS state dict -> flax params for models.stabletts.StableTTS."""
+    sd = _SD(state_dict)
+    params: dict = {}
+
+    params["fake_speaker"] = sd("fake_speaker")
+    params["fake_content"] = sd("fake_content").squeeze(-1)  # [1, C, 1] -> [1, C]
+
+    enc = {"emb": {"embedding": sd("encoder.emb.weight")}, "proj": sd.dense("encoder.proj")}
+    for i in range(n_enc_layers):
+        enc[f"encoder_{i}"] = _convert_dit_block(sd, f"encoder.encoder.{i}")
+    params["encoder"] = enc
+
+    params["ref_encoder"] = _convert_mel_style_encoder(sd, "ref_encoder")
+
+    params["dp"] = {
+        "cond": sd.dense("dp.cond"),
+        "conv1": sd.conv("dp.conv1"),
+        "norm1": sd.ln("dp.norm1"),
+        "conv2": sd.conv("dp.conv2"),
+        "norm2": sd.ln("dp.norm2"),
+        "proj": sd.dense("dp.proj"),
+    }
+
+    est = {
+        "time_mlp": {
+            "layer_0": sd.dense("decoder.estimator.time_mlp.layer.0"),
+            "layer_2": sd.dense("decoder.estimator.time_mlp.layer.2"),
+        },
+        "cond_proj_0": sd.conv("decoder.estimator.cond_proj.0"),
+        "cond_proj_2": sd.conv("decoder.estimator.cond_proj.2"),
+        "cond_proj_4": sd.conv("decoder.estimator.cond_proj.4"),
+        "in_proj": sd.dense("decoder.estimator.in_proj"),
+        "final_proj": sd.dense("decoder.estimator.final_proj"),
+    }
+    for i in range(n_dec_layers):
+        est[f"blocks_{i}"] = {
+            "time_fusion": {"film": sd.dense(f"decoder.estimator.blocks.{i}.time_fusion.film")},
+            "block": _convert_dit_block(sd, f"decoder.estimator.blocks.{i}.block"),
+        }
+    for j in range(n_dec_layers // 2):
+        est[f"lsc_{j}"] = sd.conv(f"decoder.estimator.lsc_layers.{j}")
+    params["decoder"] = {"estimator": est}
+
+    leftovers = [k for k in sd.unused() if "rotary" not in k and "num_batches" not in k]
+    if leftovers:
+        raise ValueError(f"unconverted reference params: {leftovers}")
+    return params
+
+
+def torch_to_flax_vocos(state_dict: Dict[str, np.ndarray], num_layers=8) -> dict:
+    """Reference Vocos state dict -> flax params for models.vocos.Vocos."""
+    sd = _SD(state_dict)
+    backbone = {
+        "embed": sd.conv("backbone.embed"),
+        "norm": sd.ln("backbone.norm"),
+        "final_layer_norm": sd.ln("backbone.final_layer_norm"),
+    }
+    for i in range(num_layers):
+        p = f"backbone.convnext.{i}"
+        backbone[f"convnext_{i}"] = {
+            "dwconv": sd.conv(f"{p}.dwconv"),
+            "norm": sd.ln(f"{p}.norm"),
+            "pwconv1": sd.dense(f"{p}.pwconv1"),
+            "pwconv2": sd.dense(f"{p}.pwconv2"),
+            "gamma": sd(f"{p}.gamma"),
+        }
+    params = {"backbone": backbone, "head": {"out": sd.dense("head.out")}}
+    leftovers = [k for k in sd.unused() if "window" not in k]
+    if leftovers:
+        raise ValueError(f"unconverted reference params: {leftovers}")
+    return params
+
+
+def torch_state_dict_to_numpy(state_dict) -> Dict[str, np.ndarray]:
+    """Detach a torch state dict to float32 numpy (caller provides torch tensors)."""
+    return {k: np.asarray(v.detach().cpu().numpy(), dtype=np.float32) for k, v in state_dict.items()}

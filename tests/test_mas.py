@@ -1,0 +1,65 @@
+"""MAS kernel tests: lax.scan DP vs the pure-numpy oracle that replicates the
+reference numba kernel exactly (monotonic_align/core.py:14-47)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from stabletts_tpu.ops.mas import maximum_path, maximum_path_numpy
+from stabletts_tpu.ops.mask import sequence_mask
+
+
+def _random_case(rng, b, t_y_max, t_x_max):
+    t_ys = rng.integers(t_x_max, t_y_max + 1, size=b)  # mel >= text
+    t_xs = rng.integers(2, t_x_max + 1, size=b)
+    t_xs = np.minimum(t_xs, t_ys)
+    neg_cent = rng.standard_normal((b, t_y_max, t_x_max)).astype(np.float32)
+    mask = (
+        sequence_mask(jnp.asarray(t_ys), t_y_max)[:, :, None]
+        * sequence_mask(jnp.asarray(t_xs), t_x_max)[:, None, :]
+    )
+    return neg_cent, np.asarray(t_ys, np.int32), np.asarray(t_xs, np.int32), mask
+
+
+def test_mas_matches_numpy_oracle():
+    rng = np.random.default_rng(0)
+    neg_cent, t_ys, t_xs, mask = _random_case(rng, 4, 64, 24)
+    expected = maximum_path_numpy(neg_cent.copy(), t_ys, t_xs)
+    got = np.asarray(maximum_path(jnp.asarray(neg_cent), mask))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_mas_large_random():
+    rng = np.random.default_rng(7)
+    neg_cent, t_ys, t_xs, mask = _random_case(rng, 8, 200, 80)
+    expected = maximum_path_numpy(neg_cent.copy(), t_ys, t_xs)
+    got = np.asarray(maximum_path(jnp.asarray(neg_cent), mask))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_mas_path_properties():
+    rng = np.random.default_rng(1)
+    neg_cent, t_ys, t_xs, mask = _random_case(rng, 3, 50, 20)
+    path = np.asarray(maximum_path(jnp.asarray(neg_cent), mask))
+    for i in range(3):
+        p = path[i, : t_ys[i], : t_xs[i]]
+        # each mel frame maps to exactly one text token
+        assert (p.sum(axis=1) == 1).all()
+        # each text token covered at least once
+        assert (p.sum(axis=0) >= 1).all()
+        # monotonic non-decreasing
+        idx = p.argmax(axis=1)
+        assert (np.diff(idx) >= 0).all()
+        assert idx[0] == 0 and idx[-1] == t_xs[i] - 1
+        # nothing outside the valid region
+        assert path[i, t_ys[i]:, :].sum() == 0
+        assert path[i, :, t_xs[i]:].sum() == 0
+
+
+def test_mas_equal_lengths():
+    """Degenerate diagonal: t_y == t_x forces the identity path."""
+    rng = np.random.default_rng(2)
+    b, t = 2, 16
+    neg_cent = rng.standard_normal((b, t, t)).astype(np.float32)
+    mask = jnp.ones((b, t, t))
+    path = np.asarray(maximum_path(jnp.asarray(neg_cent), mask))
+    np.testing.assert_array_equal(path, np.tile(np.eye(t, dtype=np.int32), (b, 1, 1)))

@@ -1,0 +1,58 @@
+"""ODE solver tests: convergence on analytic problems and torchdiffeq-grid
+semantics (step sizes = grid diffs)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from stabletts_tpu.ops.ode import odeint, odeint_fixed, odeint_dopri5
+
+
+def test_euler_linear_decay():
+    # dy/dt = -y, y(0)=1 -> y(1)=e^-1; euler with n steps ~ (1-1/n)^n
+    f = lambda t, y: -y
+    y0 = jnp.ones((2, 3))
+    n = 100
+    t = jnp.linspace(0.0, 1.0, n + 1)
+    y = odeint_fixed(f, y0, t, "euler")
+    expected = (1 - 1 / n) ** n
+    np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-5)
+
+
+def test_rk4_accuracy():
+    f = lambda t, y: -y
+    y0 = jnp.ones((1,))
+    t = jnp.linspace(0.0, 1.0, 11)
+    y = odeint_fixed(f, y0, t, "rk4")
+    np.testing.assert_allclose(np.asarray(y), np.exp(-1.0), rtol=1e-6)
+
+
+def test_midpoint_and_heun_better_than_euler():
+    f = lambda t, y: jnp.cos(t) * y  # y(t) = exp(sin t)
+    y0 = jnp.ones(())
+    t = jnp.linspace(0.0, 1.0, 11)
+    exact = np.exp(np.sin(1.0))
+    errs = {m: abs(float(odeint_fixed(f, y0, t, m)) - exact) for m in ("euler", "midpoint", "heun2", "heun3", "rk4")}
+    assert errs["midpoint"] < errs["euler"]
+    assert errs["heun2"] < errs["euler"]
+    assert errs["rk4"] < errs["midpoint"]
+
+
+def test_dopri5_adaptive():
+    f = lambda t, y: -10.0 * y
+    y0 = jnp.ones((4,))
+    y = odeint_dopri5(f, y0, 0.0, 1.0, rtol=1e-6, atol=1e-6)
+    # atol dominates at |y| ~ 1e-5, so global relative error is ~1e-3
+    np.testing.assert_allclose(np.asarray(y), np.exp(-10.0), rtol=5e-3)
+
+
+def test_dispatch_and_nonuniform_grid():
+    f = lambda t, y: -y
+    y0 = jnp.ones(())
+    # non-uniform grid: steps follow grid diffs exactly
+    t = jnp.asarray([0.0, 0.5, 1.0, 1.25, 2.0])
+    y = odeint(f, y0, t, method="euler")
+    expected = 1.0
+    tn = np.asarray(t)
+    for dt in np.diff(tn):
+        expected *= 1 - dt
+    np.testing.assert_allclose(float(y), expected, rtol=1e-6)

@@ -88,7 +88,15 @@ class MultiHeadAttention(nn.Module):
         q = apply_rope(q, rotary_dim)
         k = apply_rope(k, rotary_dim)
 
-        out = masked_sdpa(q, k, v, attn_bias)
+        scale = 1.0 / math.sqrt(head_dim)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        if attn_bias is not None:
+            logits = logits + attn_bias
+        weights = jax.nn.softmax(logits, axis=-1)
+        # dropout on attention weights, matching torch SDPA's dropout_p
+        # (reference: diffusion_transformer.py:77)
+        weights = nn.Dropout(self.p_dropout)(weights, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
         out = out.reshape(b, t, self.channels)
         return nn.Dense(self.out_channels, name="conv_o")(out)
 

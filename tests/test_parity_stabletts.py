@@ -1,0 +1,212 @@
+"""Numerical parity: this framework vs the reference PyTorch StableTTS,
+module by module and end-to-end synthesise, through the checkpoint converter.
+
+A torch StableTTS is built with seeded random weights, its state dict is
+converted to flax params, and outputs are compared in fp32.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference"), reason="reference repo not mounted"
+)
+
+from stabletts_tpu.models import build_stabletts
+from stabletts_tpu.models.stabletts import StableTTS
+from stabletts_tpu.utils.convert import torch_state_dict_to_numpy, torch_to_flax_stabletts
+
+N_VOCAB = 401
+MEL = 128
+TOL = dict(rtol=2e-4, atol=2e-4)
+
+
+@pytest.fixture(scope="module")
+def pair():
+    from ref_loader import load_reference
+
+    ref = load_reference()
+    torch.manual_seed(0)
+    ref_tts = ref.model.StableTTS(
+        N_VOCAB, MEL,
+        hidden_channels=256, filter_channels=1024, n_heads=4,
+        n_enc_layers=3, n_dec_layers=6, kernel_size=3, p_dropout=0.1,
+        gin_channels=256,
+    )
+    ref_tts.eval()
+    # nonzero CFG embeddings so the uncond path is actually exercised
+    with torch.no_grad():
+        ref_tts.fake_speaker.normal_(0, 0.5)
+        ref_tts.fake_content.normal_(0, 0.5)
+
+    params = torch_to_flax_stabletts(torch_state_dict_to_numpy(ref_tts.state_dict()))
+    model = build_stabletts()
+    return ref_tts, model, {"params": params}
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    rng = np.random.default_rng(42)
+    b = 2
+    x = rng.integers(1, N_VOCAB, size=(b, 40))
+    x[1, 25:] = 0
+    x_lengths = np.asarray([40, 25], dtype=np.int64)
+    z = rng.standard_normal((b, 60, MEL)).astype(np.float32)  # ref mel, channels-last
+    z_lengths = np.asarray([60, 45], dtype=np.int64)
+    z[1, 45:] = 0.0
+    return x, x_lengths, z, z_lengths
+
+
+def test_ref_encoder_parity(pair, inputs):
+    ref_tts, model, variables = pair
+    x, x_lengths, z, z_lengths = inputs
+    zt = torch.from_numpy(z.transpose(0, 2, 1))  # [B, C, T]
+    with torch.no_grad():
+        # mask layout [B, 1, T]
+        z_mask = (torch.arange(60)[None, :] < torch.from_numpy(z_lengths)[:, None]).float().unsqueeze(1)
+        ref_c = ref_tts.ref_encoder(zt, z_mask).numpy()
+
+    from stabletts_tpu.ops.mask import sequence_mask
+
+    mask = sequence_mask(jnp.asarray(z_lengths), 60)
+    got_c = model.apply(
+        variables, jnp.asarray(z), mask, True,
+        method=lambda m, *a: m.ref_encoder(*a),
+    )
+    np.testing.assert_allclose(np.asarray(got_c), ref_c, **TOL)
+
+
+def test_ref_encoder_no_mask(pair, inputs):
+    ref_tts, model, variables = pair
+    _, _, z, _ = inputs
+    with torch.no_grad():
+        ref_c = ref_tts.ref_encoder(torch.from_numpy(z.transpose(0, 2, 1)), None).numpy()
+    got_c = model.apply(
+        variables, jnp.asarray(z), None, True,
+        method=lambda m, *a: m.ref_encoder(*a),
+    )
+    np.testing.assert_allclose(np.asarray(got_c), ref_c, **TOL)
+
+
+def test_text_encoder_parity(pair, inputs):
+    ref_tts, model, variables = pair
+    x, x_lengths, z, _ = inputs
+    c_np = np.random.default_rng(3).standard_normal((2, 256)).astype(np.float32)
+    with torch.no_grad():
+        hx, mu_x, x_mask = ref_tts.encoder(
+            torch.from_numpy(x), torch.from_numpy(c_np), torch.from_numpy(x_lengths)
+        )
+    got_h, got_mu, got_mask = model.apply(
+        variables, jnp.asarray(x, jnp.int32), jnp.asarray(c_np), jnp.asarray(x_lengths, jnp.int32), True,
+        method=lambda m, *a: m.encoder(*a),
+    )
+    np.testing.assert_allclose(np.asarray(got_mask), x_mask.squeeze(1).numpy(), **TOL)
+    np.testing.assert_allclose(np.asarray(got_h), hx.transpose(1, 2).numpy(), **TOL)
+    np.testing.assert_allclose(np.asarray(got_mu), mu_x.transpose(1, 2).numpy(), **TOL)
+
+
+def test_duration_predictor_parity(pair, inputs):
+    ref_tts, model, variables = pair
+    x, x_lengths, _, _ = inputs
+    rng = np.random.default_rng(4)
+    h = rng.standard_normal((2, 40, 256)).astype(np.float32)
+    c = rng.standard_normal((2, 256)).astype(np.float32)
+    mask_np = (np.arange(40)[None, :] < x_lengths[:, None]).astype(np.float32)
+    with torch.no_grad():
+        ref_logw = ref_tts.dp(
+            torch.from_numpy(h.transpose(0, 2, 1)),
+            torch.from_numpy(mask_np).unsqueeze(1),
+            torch.from_numpy(c),
+        ).numpy()  # [B, 1, T]
+    got = model.apply(
+        variables, jnp.asarray(h), jnp.asarray(mask_np), jnp.asarray(c), True,
+        method=lambda m, *a: m.dp(*a),
+    )  # [B, T, 1]
+    np.testing.assert_allclose(np.asarray(got)[:, :, 0], ref_logw[:, 0, :], **TOL)
+
+
+def test_estimator_parity(pair):
+    ref_tts, model, variables = pair
+    rng = np.random.default_rng(5)
+    b, t_mel = 2, 48
+    xt = rng.standard_normal((b, t_mel, MEL)).astype(np.float32)
+    mu = rng.standard_normal((b, t_mel, MEL)).astype(np.float32)
+    c = rng.standard_normal((b, 256)).astype(np.float32)
+    t = np.asarray([0.3, 0.7], dtype=np.float32)
+    lengths = np.asarray([48, 36])
+    mask_np = (np.arange(t_mel)[None, :] < lengths[:, None]).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref_tts.decoder.estimator(
+            torch.from_numpy(t),
+            torch.from_numpy(xt.transpose(0, 2, 1)),
+            torch.from_numpy(mask_np).unsqueeze(1),
+            torch.from_numpy(mu.transpose(0, 2, 1)),
+            torch.from_numpy(c),
+        ).numpy()
+    got = model.apply(
+        variables, jnp.asarray(t), jnp.asarray(xt), jnp.asarray(mask_np),
+        jnp.asarray(mu), jnp.asarray(c),
+        method=StableTTS.velocity,
+    )
+    np.testing.assert_allclose(np.asarray(got), ref_out.transpose(0, 2, 1), rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("cfg", [1.0, 3.0])
+def test_synthesise_parity_euler(pair, inputs, cfg):
+    """End-to-end synthesise: text ids -> mel, 4 euler steps, fixed noise
+    (reference: models/model.py:48-112 with stubbed torchdiffeq euler)."""
+    ref_tts, model, variables = pair
+    x, x_lengths, z, _ = inputs
+    n_steps = 4
+
+    # run reference first to learn y_max_length, with patched noise
+    rng = np.random.default_rng(6)
+    noise_holder = {}
+
+    orig_randn_like = torch.randn_like
+
+    def fake_randn_like(t_in):
+        arr = rng.standard_normal(tuple(t_in.shape)).astype(np.float32)
+        noise_holder["noise"] = arr
+        return torch.from_numpy(arr)
+
+    torch.randn_like = fake_randn_like
+    try:
+        with torch.no_grad():
+            ref_out = ref_tts.synthesise(
+                torch.from_numpy(x), torch.from_numpy(x_lengths), n_steps,
+                temperature=1.0, y=torch.from_numpy(z.transpose(0, 2, 1)),
+                length_scale=1.0, solver="euler", cfg=cfg,
+            )
+    finally:
+        torch.randn_like = orig_randn_like
+
+    ref_mel = ref_out["decoder_outputs"].numpy()  # [B, C, L]
+    max_len = ref_mel.shape[2]
+    noise = noise_holder["noise"].transpose(0, 2, 1)  # [B, L, C]
+
+    from stabletts_tpu.models.sampler import synthesise
+
+    got = synthesise(
+        model, variables, jnp.asarray(x, jnp.int32), jnp.asarray(x_lengths, jnp.int32),
+        jnp.asarray(noise), jnp.asarray(z), n_timesteps=n_steps, cfg=cfg,
+        solver="euler", max_mel_len=max_len,
+    )
+    got_mel = np.asarray(got["decoder_outputs"]).transpose(0, 2, 1)
+
+    # reference zeroes nothing beyond y_mask; compare within each valid length
+    ref_attn = ref_out["attn"].numpy()
+    y_lengths = np.asarray(got["y_lengths"])
+    ref_y_lengths = ref_attn.sum(axis=(1, 2, 3)).astype(int)
+    np.testing.assert_array_equal(y_lengths, ref_y_lengths)
+    for i in range(x.shape[0]):
+        L = y_lengths[i]
+        np.testing.assert_allclose(got_mel[i, :, :L], ref_mel[i, :, :L], rtol=1e-3, atol=1e-3)
+    mae = float(np.abs(got_mel[0, :, : y_lengths[0]] - ref_mel[0, :, : y_lengths[0]]).mean())
+    assert mae < 5e-4, f"mel MAE too high: {mae}"

@@ -1,0 +1,109 @@
+"""Benchmark: audio-seconds generated per second per chip at 10 ODE steps.
+
+Drives the full inference pipeline (text -> StableTTS flow-matching mel ->
+Vocos waveform) on the default platform (the real TPU chip under the driver),
+batched, with the 31M-param flagship config. Prints ONE JSON line.
+
+Throughput accounting: every run computes B * max_mel_frames mel frames and
+vocodes them; audio-seconds = B * frames * hop / sample_rate (the audio the
+chip actually synthesized, independent of the random-weight duration
+predictor's outputs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=1000, help="mel frames per utterance (1000 = 11.6 s)")
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--cfg", type=float, default=1.0)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stabletts_tpu.config import MelConfig, VocosConfig
+    from stabletts_tpu.models import build_stabletts, init_stabletts_params
+    from stabletts_tpu.models.sampler import synthesise
+    from stabletts_tpu.models.vocos import Vocos
+
+    mel_cfg = MelConfig()
+    model = build_stabletts()
+    variables = init_stabletts_params(model, jax.random.PRNGKey(0))
+    vocos = Vocos(VocosConfig(), mel_cfg)
+
+    b, frames = args.batch, args.frames
+    text_len = 96
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(1, 400, size=(b, text_len)), jnp.int32)
+    x_lengths = jnp.full((b,), text_len, dtype=jnp.int32)
+    noise = jax.random.normal(jax.random.PRNGKey(1), (b, frames, mel_cfg.n_mels))
+    y_ref = jax.random.normal(jax.random.PRNGKey(2), (b, 300, mel_cfg.n_mels))
+
+    vvars = vocos.init(jax.random.PRNGKey(3), jnp.zeros((1, 16, mel_cfg.n_mels)))
+    vocos_apply = jax.jit(vocos.apply)
+
+    def pipeline():
+        out = synthesise(
+            model, variables, x, x_lengths, noise, y_ref,
+            n_timesteps=args.steps, cfg=args.cfg, solver="euler", max_mel_len=frames,
+        )
+        wav = vocos_apply(vvars, out["decoder_outputs"])
+        # scalar readback forces execution: block_until_ready does not
+        # reliably block on the tunneled axon backend
+        return float(wav.sum())
+
+    # warmup/compile
+    t0 = time.time()
+    pipeline()
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.time()
+        pipeline()
+        times.append(time.time() - t0)
+
+    wall = min(times)
+    audio_seconds = b * frames * mel_cfg.hop_length / mel_cfg.sample_rate
+    throughput = audio_seconds / wall
+    rtf = wall / audio_seconds
+
+    result = {
+        "metric": "audio_seconds_per_s_per_chip_10steps",
+        "value": round(throughput, 3),
+        "unit": "audio-s/s/chip",
+        "vs_baseline": round(throughput, 3),
+        "detail": {
+            "batch": b,
+            "mel_frames": frames,
+            "ode_steps": args.steps,
+            "cfg": args.cfg,
+            "rtf": round(rtf, 5),
+            "wall_s": round(wall, 4),
+            "compile_s": round(compile_s, 1),
+            "platform": jax.devices()[0].platform,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -93,6 +93,7 @@ class VocosConfig:
 class VocosTrainConfig:
     """Vocos GAN training config (reference: vocoders/vocos/config.py:28-47)."""
 
+    train_dataset_path: str = "filelists/filelist.txt"
     segment_size: int = 20480
     batch_size: int = 16
     learning_rate: float = 1e-4

@@ -1,0 +1,157 @@
+"""GAN discriminators for vocoder training: multi-period (MPD) and
+multi-resolution (MRD) (reference: vocoders/vocos/models/discriminator.py).
+
+Audio layout is [B, T]; 2D conv stacks run NHWC. Spectrogram features for MRD
+are kept as (real, imag) channel pairs — no complex arithmetic on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from stabletts_tpu.ops.stft import hann_window
+
+
+def _leaky(x):
+    return jax.nn.leaky_relu(x, 0.1)
+
+
+class DiscriminatorP(nn.Module):
+    """Period discriminator: 2D convs over period-folded audio
+    (reference: discriminator.py:32-75)."""
+
+    period: int
+    kernel_size: int = 5
+    stride: int = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        b, t = x.shape
+        if t % self.period != 0:
+            n_pad = self.period - (t % self.period)
+            x = jnp.pad(x, ((0, 0), (0, n_pad)), mode="reflect")
+            t = t + n_pad
+        h = x.reshape(b, t // self.period, self.period, 1)  # NHWC
+
+        fmap = []
+        channels = (32, 128, 512, 1024, 1024)
+        for i, ch in enumerate(channels):
+            stride = (self.stride, 1) if i < 4 else (1, 1)
+            conv = nn.WeightNorm(
+                nn.Conv(
+                    ch,
+                    (self.kernel_size, 1),
+                    strides=stride,
+                    padding=((self.kernel_size // 2, self.kernel_size // 2), (0, 0)),
+                    name=f"convs_{i}",
+                )
+            )
+            h = _leaky(conv(h))
+            if i > 0:
+                fmap.append(h)
+        h = nn.WeightNorm(
+            nn.Conv(1, (3, 1), padding=((1, 1), (0, 0)), name="conv_post")
+        )(h)
+        fmap.append(h)
+        return h.reshape(b, -1), fmap
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    """(reference: discriminator.py:11-29)."""
+
+    periods: Sequence[int] = (2, 3, 5, 7, 11)
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
+        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        for i, p in enumerate(self.periods):
+            d = DiscriminatorP(p, name=f"discriminators_{i}")
+            r, fr = d(y)
+            g, fg = d(y_hat)
+            y_d_rs.append(r)
+            y_d_gs.append(g)
+            fmap_rs.append(fr)
+            fmap_gs.append(fg)
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs
+
+
+def stft_real_imag(x: jnp.ndarray, n_fft: int, hop: int, win: int) -> jnp.ndarray:
+    """Center-padded STFT as real/imag channels: [B, T_frames, n_freqs, 2]
+    (torchaudio Spectrogram(power=None) equivalent, center=True reflect)."""
+    window = jnp.asarray(hann_window(win))
+    pad = n_fft // 2
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    length = x.shape[-1]
+    n_frames = 1 + (length - n_fft) // hop
+    starts = jnp.arange(n_frames) * hop
+    idx = starts[:, None] + jnp.arange(n_fft)[None, :]
+    frames = x[:, idx] * window
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # [B, T, F]
+    return jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
+
+
+class DiscriminatorR(nn.Module):
+    """Resolution discriminator over banded complex spectrograms
+    (reference: discriminator.py:113-170)."""
+
+    window_length: int
+    channels: int = 32
+    hop_factor: float = 0.25
+    bands: Sequence[Tuple[float, float]] = (
+        (0.0, 0.1), (0.1, 0.25), (0.25, 0.5), (0.5, 0.75), (0.75, 1.0),
+    )
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        n_freqs = self.window_length // 2 + 1
+        hop = int(self.window_length * self.hop_factor)
+        spec = stft_real_imag(x, self.window_length, hop, self.window_length)
+        # [B, T, F, 2]; band-split along frequency
+        band_idx = [(int(lo * n_freqs), int(hi * n_freqs)) for lo, hi in self.bands]
+        x_bands = [spec[:, :, lo:hi, :] for lo, hi in band_idx]
+
+        fmap = []
+        outs = []
+        for bi, band in enumerate(x_bands):
+            h = band
+            for i in range(5):
+                k = (3, 9) if i < 4 else (3, 3)
+                s = (1, 2) if 0 < i < 4 else (1, 1)
+                conv = nn.WeightNorm(
+                    nn.Conv(
+                        self.channels, k, strides=s,
+                        padding=((k[0] // 2, k[0] // 2), (k[1] // 2, k[1] // 2)),
+                        name=f"band_convs_{bi}_{i}",
+                    )
+                )
+                h = _leaky(conv(h))
+                if i > 0:
+                    fmap.append(h)
+            outs.append(h)
+        h = jnp.concatenate(outs, axis=2)  # along frequency
+        h = nn.WeightNorm(nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)), name="conv_post"))(h)
+        fmap.append(h)
+        return h, fmap
+
+
+class MultiResolutionDiscriminator(nn.Module):
+    """(reference: discriminator.py:78-111)."""
+
+    fft_sizes: Sequence[int] = (2048, 1024, 512)
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
+        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        for i, w in enumerate(self.fft_sizes):
+            d = DiscriminatorR(w, name=f"discriminators_{i}")
+            r, fr = d(y)
+            g, fg = d(y_hat)
+            y_d_rs.append(r)
+            y_d_gs.append(g)
+            fmap_rs.append(fr)
+            fmap_gs.append(fg)
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs

@@ -91,3 +91,48 @@ def continue_training(
         params = ckptr.restore(os.path.join(ckpt_dir, f"checkpoint_{e}"), params)
         return 0, params, opt_state
     return 0, params, opt_state
+
+
+_VOCOS_PARTS = ("generator", "mpd", "mrd", "optimizerd", "optimizerg")
+
+
+def save_checkpoint_named(ckpt_dir: str, epoch: int, parts: dict) -> None:
+    """Save named state parts as {name}_{epoch} dirs (vocos protocol:
+    reference vocoders/vocos/train.py:150-155)."""
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    ckptr = ocp.StandardCheckpointer()
+    for name, tree in parts.items():
+        ckptr.save(os.path.join(ckpt_dir, f"{name}_{epoch}"), tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def continue_training_vocos(ckpt_dir: str, state):
+    """Vocos resume semantics (reference: vocoders/vocos/utils/load.py:7-53):
+    restore the max epoch with ALL five parts; generator-only checkpoints act
+    as a pretrained init at epoch 0."""
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    per_part = {
+        p: _epochs(ckpt_dir, re.compile(rf"^{p}_(\d+)$")) for p in _VOCOS_PARTS
+    }
+    ckptr = ocp.StandardCheckpointer()
+    common = set.intersection(*per_part.values()) if all(per_part.values()) else set()
+    if common:
+        e = max(common)
+        return e + 1, state.replace(
+            params_g=ckptr.restore(os.path.join(ckpt_dir, f"generator_{e}"), state.params_g),
+            params_mpd=ckptr.restore(os.path.join(ckpt_dir, f"mpd_{e}"), state.params_mpd),
+            params_mrd=ckptr.restore(os.path.join(ckpt_dir, f"mrd_{e}"), state.params_mrd),
+            opt_g=ckptr.restore(os.path.join(ckpt_dir, f"optimizerg_{e}"), state.opt_g),
+            opt_d=ckptr.restore(os.path.join(ckpt_dir, f"optimizerd_{e}"), state.opt_d),
+        )
+    if per_part["generator"]:
+        e = max(per_part["generator"])
+        return 0, state.replace(
+            params_g=ckptr.restore(os.path.join(ckpt_dir, f"generator_{e}"), state.params_g)
+        )
+    return 0, state

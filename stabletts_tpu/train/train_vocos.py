@@ -1,0 +1,245 @@
+"""Vocos GAN training: D-step then G-step in one jitted XLA computation,
+data-parallel over the mesh (reference: vocoders/vocos/train.py:43-165).
+
+Efficiency notes vs a naive port:
+  * the generator forward runs ONCE per step via jax.vjp — its output feeds
+    the D step (stop-gradient) and its pullback carries the G-step cotangent,
+    matching the reference's single forward + backward
+  * mel extraction (input mel + 7-scale mel losses) happens on-device inside
+    the same jit, not on the host dataloader
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from stabletts_tpu.config import MelConfig, VocosConfig, VocosTrainConfig
+from stabletts_tpu.models.discriminators import MultiPeriodDiscriminator, MultiResolutionDiscriminator
+from stabletts_tpu.models.gan_losses import (
+    discriminator_loss,
+    feature_loss,
+    generator_loss,
+    multi_scale_mel_configs,
+    multi_scale_mel_loss,
+)
+from stabletts_tpu.models.vocos import Vocos
+from stabletts_tpu.ops.stft import log_mel_spectrogram
+from stabletts_tpu.parallel import mesh as mesh_lib
+from stabletts_tpu.train.scheduler import cosine_with_warmup
+
+
+@dataclass
+class VocosTrainState:
+    step: int
+    params_g: Any
+    params_mpd: Any
+    params_mrd: Any
+    opt_g: Any
+    opt_d: Any
+
+    def replace(self, **kw):
+        d = dict(
+            step=self.step, params_g=self.params_g, params_mpd=self.params_mpd,
+            params_mrd=self.params_mrd, opt_g=self.opt_g, opt_d=self.opt_d,
+        )
+        d.update(kw)
+        return VocosTrainState(**d)
+
+
+jax.tree_util.register_pytree_node(
+    VocosTrainState,
+    lambda s: ((s.step, s.params_g, s.params_mpd, s.params_mrd, s.opt_g, s.opt_d), None),
+    lambda _, c: VocosTrainState(*c),
+)
+
+
+def make_gan_optimizer(cfg: VocosTrainConfig, total_steps: int) -> optax.GradientTransformation:
+    """AdamW + cosine-warmup + grad clip (reference: train.py:73-77, 108-109)."""
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(cosine_with_warmup(cfg.learning_rate, cfg.warmup_steps, total_steps)),
+    )
+
+
+def make_vocos_train_step(
+    gen: Vocos,
+    mpd: MultiPeriodDiscriminator,
+    mrd: MultiResolutionDiscriminator,
+    tx_g: optax.GradientTransformation,
+    tx_d: optax.GradientTransformation,
+    mel_cfg: MelConfig,
+    mel_loss_coeff: float,
+) -> Callable:
+    ms_cfgs = multi_scale_mel_configs(mel_cfg)
+
+    def step_fn(state: VocosTrainState, audio: jnp.ndarray):
+        """audio: [B, segment_size]. D step first, then G step, like the
+        reference's optimizer ordering (train.py:95-132)."""
+        mels = log_mel_spectrogram(audio, mel_cfg)
+
+        fake, gen_vjp = jax.vjp(lambda pg: gen.apply({"params": pg}, mels), state.params_g)
+        fake_sg = jax.lax.stop_gradient(fake)
+
+        # ---- discriminator step ----
+        def d_loss_fn(pd):
+            rf, gf, _, _ = mpd.apply({"params": pd["mpd"]}, audio, fake_sg)
+            loss_f, _, _ = discriminator_loss(rf, gf)
+            rs, gs, _, _ = mrd.apply({"params": pd["mrd"]}, audio, fake_sg)
+            loss_s, _, _ = discriminator_loss(rs, gs)
+            return loss_f + loss_s, (loss_f, loss_s)
+
+        pd = {"mpd": state.params_mpd, "mrd": state.params_mrd}
+        (loss_d, (loss_disc_f, loss_disc_s)), grads_d = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(pd)
+        grad_norm_mpd = optax.global_norm(grads_d["mpd"])
+        grad_norm_mrd = optax.global_norm(grads_d["mrd"])
+        upd_d, opt_d = tx_d.update(grads_d, state.opt_d, pd)
+        pd = optax.apply_updates(pd, upd_d)
+
+        # ---- generator step (against the updated discriminators) ----
+        def g_loss_fn(fake_in):
+            loss_mel = multi_scale_mel_loss(audio, fake_in, ms_cfgs) * mel_loss_coeff
+            rf, gf, fr, fg = mpd.apply({"params": pd["mpd"]}, audio, fake_in)
+            loss_fm_f = feature_loss(fr, fg)
+            loss_gen_f, _ = generator_loss(gf)
+            rs, gs, sr_, sg_ = mrd.apply({"params": pd["mrd"]}, audio, fake_in)
+            loss_fm_s = feature_loss(sr_, sg_)
+            loss_gen_s, _ = generator_loss(gs)
+            total = loss_gen_s + loss_gen_f + loss_fm_s + loss_fm_f + loss_mel
+            return total, dict(
+                mel_loss=loss_mel, fm_loss_mpd=loss_fm_f, gen_loss_mpd=loss_gen_f,
+                fm_loss_mrd=loss_fm_s, gen_loss_mrd=loss_gen_s,
+            )
+
+        (loss_g, aux), dfake = jax.value_and_grad(g_loss_fn, has_aux=True)(fake)
+        (grads_g,) = gen_vjp(dfake)
+        grad_norm_g = optax.global_norm(grads_g)
+        upd_g, opt_g = tx_g.update(grads_g, state.opt_g, state.params_g)
+        params_g = optax.apply_updates(state.params_g, upd_g)
+
+        metrics = dict(
+            gen_loss_total=loss_g,
+            disc_loss_mpd=loss_disc_f,
+            disc_loss_mrd=loss_disc_s,
+            grad_norm_g=grad_norm_g,
+            grad_norm_mpd=grad_norm_mpd,
+            grad_norm_mrd=grad_norm_mrd,
+            **aux,
+        )
+        new_state = state.replace(
+            step=state.step + 1, params_g=params_g,
+            params_mpd=pd["mpd"], params_mrd=pd["mrd"],
+            opt_g=opt_g, opt_d=opt_d,
+        )
+        return new_state, metrics
+
+    return step_fn
+
+
+def init_vocos_training(
+    vocos_cfg: VocosConfig,
+    mel_cfg: MelConfig,
+    train_cfg: VocosTrainConfig,
+    total_steps: int,
+    seed: int = 0,
+):
+    """Builds modules, params, optimizers, and the jitted step function."""
+    gen = Vocos(vocos_cfg, mel_cfg)
+    mpd = MultiPeriodDiscriminator()
+    mrd = MultiResolutionDiscriminator()
+
+    rng = jax.random.PRNGKey(seed)
+    r1, r2, r3 = jax.random.split(rng, 3)
+    seg_frames = max(train_cfg.segment_size // mel_cfg.hop_length, 8)
+    dummy_mel = jnp.zeros((1, seg_frames, mel_cfg.n_mels))
+    dummy_audio = jnp.zeros((1, train_cfg.segment_size))
+    params_g = gen.init(r1, dummy_mel)["params"]
+    params_mpd = mpd.init(r2, dummy_audio, dummy_audio)["params"]
+    params_mrd = mrd.init(r3, dummy_audio, dummy_audio)["params"]
+
+    tx_g = make_gan_optimizer(train_cfg, total_steps)
+    tx_d = make_gan_optimizer(train_cfg, total_steps)
+    state = VocosTrainState(
+        step=0,
+        params_g=params_g, params_mpd=params_mpd, params_mrd=params_mrd,
+        opt_g=tx_g.init(params_g),
+        opt_d=tx_d.init({"mpd": params_mpd, "mrd": params_mrd}),
+    )
+    step_fn = jax.jit(
+        make_vocos_train_step(gen, mpd, mrd, tx_g, tx_d, mel_cfg, train_cfg.mel_loss_coeff),
+        donate_argnums=(0,),
+    )
+    return gen, mpd, mrd, state, step_fn
+
+
+def train_vocos(
+    train_cfg: Optional[VocosTrainConfig] = None,
+    vocos_cfg: Optional[VocosConfig] = None,
+    mel_cfg: Optional[MelConfig] = None,
+    num_epochs: Optional[int] = None,
+    log_fn: Callable[[int, dict], None] = None,
+):
+    """Full GAN training entry point (reference: vocoders/vocos/train.py:43-165)."""
+    from stabletts_tpu.data.vocos_dataset import VocosDataset
+    from stabletts_tpu.train.state import save_checkpoint_named, continue_training_vocos
+
+    train_cfg = train_cfg or VocosTrainConfig()
+    vocos_cfg = vocos_cfg or VocosConfig()
+    mel_cfg = mel_cfg or MelConfig()
+    if vocos_cfg.input_channels != mel_cfg.n_mels:
+        raise ValueError("input_channels and n_mels must be equal.")
+
+    mesh = mesh_lib.make_mesh()
+    n_proc = jax.process_count()
+    rank = jax.process_index()
+
+    dataset = VocosDataset(train_cfg.train_dataset_path, train_cfg.segment_size, mel_cfg.sample_rate)
+    n_epochs = num_epochs or train_cfg.num_epochs
+    per_rank = len(dataset) // n_proc
+    steps_per_epoch = max(per_rank // train_cfg.batch_size, 1)
+    total_steps = n_epochs * steps_per_epoch
+
+    gen, mpd, mrd, state, step_fn = init_vocos_training(
+        vocos_cfg, mel_cfg, train_cfg, total_steps, train_cfg.seed
+    )
+    start_epoch, state = continue_training_vocos(train_cfg.model_save_path, state)
+    state = mesh_lib.replicate(mesh, state)
+
+    for epoch in range(start_epoch, n_epochs):
+        order = np.random.default_rng(epoch).permutation(len(dataset))
+        order = order[rank::n_proc]
+        rng = np.random.default_rng((epoch << 16) + rank)
+        t0 = time.time()
+        metrics = {}
+        for b in range(steps_per_epoch):
+            idx = order[b * train_cfg.batch_size : (b + 1) * train_cfg.batch_size]
+            if len(idx) < train_cfg.batch_size:
+                break
+            audio = dataset.batch(idx, rng)
+            audio_dev = mesh_lib.shard_batch(mesh, audio)
+            state, metrics = step_fn(state, audio_dev)
+            if rank == 0 and log_fn is not None and b % train_cfg.log_interval == 0:
+                log_fn(epoch * steps_per_epoch + b, jax.device_get(metrics))
+        if rank == 0 and epoch % train_cfg.save_interval == 0:
+            host_state = jax.device_get(state)
+            save_checkpoint_named(train_cfg.model_save_path, epoch, {
+                "generator": host_state.params_g,
+                "mpd": host_state.params_mpd,
+                "mrd": host_state.params_mrd,
+                "optimizerg": host_state.opt_g,
+                "optimizerd": host_state.opt_d,
+            })
+        if metrics:
+            print(
+                f"rank {rank} epoch {epoch} gen_loss "
+                f"{float(jax.device_get(metrics['gen_loss_total'])):.4f} ({time.time()-t0:.1f}s)"
+            )
+    return state

@@ -185,6 +185,98 @@ def torch_to_flax_vocos(state_dict: Dict[str, np.ndarray], num_layers=8) -> dict
     return params
 
 
+def fold_weight_norm(g: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """w = g * v / ||v|| with the norm over all dims except 0 (torch
+    weight_norm default dim=0). Used to fold inference-only weight-normed
+    convs (FireflyGAN) into plain kernels."""
+    axes = tuple(range(1, v.ndim))
+    norm = np.sqrt((v ** 2).sum(axis=axes, keepdims=True))
+    return (g * v / norm).astype(np.float32)
+
+
+class _WNSD(_SD):
+    """State-dict accessor that transparently folds weight-normed convs."""
+
+    def weight(self, prefix):
+        if self.has(f"{prefix}.parametrizations.weight.original0"):
+            g = self(f"{prefix}.parametrizations.weight.original0")
+            v = self(f"{prefix}.parametrizations.weight.original1")
+            return fold_weight_norm(g, v)
+        # older torch serialization: weight_g / weight_v
+        if self.has(f"{prefix}.weight_g"):
+            return fold_weight_norm(self(f"{prefix}.weight_g"), self(f"{prefix}.weight_v"))
+        return self(f"{prefix}.weight")
+
+    def dense(self, prefix):
+        b = self(f"{prefix}.bias") if self.has(f"{prefix}.bias") else None
+        return _dense(self.weight(prefix), b)
+
+    def conv(self, prefix):
+        b = self(f"{prefix}.bias") if self.has(f"{prefix}.bias") else None
+        return _conv(self.weight(prefix), b)
+
+    def conv_transpose_kernel(self, prefix):
+        """torch ConvTranspose1d weight [C_in, C_out, k] -> [k, C_in, C_out]."""
+        return np.ascontiguousarray(np.transpose(self.weight(prefix), (2, 0, 1)))
+
+
+def torch_to_flax_ffgan(state_dict: Dict[str, np.ndarray]) -> dict:
+    """FireflyGANBase state dict -> flax params for models.ffgan.FireflyGANBase
+    (reference: vocoders/ffgan/model.py:44-57). Weight norm is folded."""
+    sd = _WNSD(state_dict)
+    depths = (3, 3, 9, 3)
+
+    backbone: dict = {
+        "stem_conv": sd.conv("backbone.downsample_layers.0.0"),
+        "stem_norm": _ln(
+            sd("backbone.downsample_layers.0.1.weight"), sd("backbone.downsample_layers.0.1.bias")
+        ),
+        "norm": _ln(sd("backbone.norm.weight"), sd("backbone.norm.bias")),
+    }
+    for i in range(1, 4):
+        backbone[f"mid_norm_{i}"] = _ln(
+            sd(f"backbone.downsample_layers.{i}.0.weight"),
+            sd(f"backbone.downsample_layers.{i}.0.bias"),
+        )
+        backbone[f"mid_conv_{i}"] = sd.dense(f"backbone.downsample_layers.{i}.1")
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            p = f"backbone.stages.{i}.{j}"
+            backbone[f"stages_{i}_{j}"] = {
+                "dwconv": sd.conv(f"{p}.dwconv"),
+                "norm": _ln(sd(f"{p}.norm.weight"), sd(f"{p}.norm.bias")),
+                "pwconv1": sd.dense(f"{p}.pwconv1"),
+                "pwconv2": sd.dense(f"{p}.pwconv2"),
+                "gamma": sd(f"{p}.gamma"),
+            }
+
+    head: dict = {
+        "conv_pre": sd.conv("head.conv_pre"),
+        "conv_post": sd.conv("head.conv_post"),
+    }
+    for i in range(5):
+        head[f"ups_{i}_kernel"] = sd.conv_transpose_kernel(f"head.ups.{i}")
+        head[f"ups_{i}_bias"] = sd(f"head.ups.{i}.bias")
+        rb: dict = {}
+        for j in range(3):
+            blk: dict = {}
+            for m in range(3):
+                w1 = sd.weight(f"head.resblocks.{i}.blocks.{j}.convs1.{m}")
+                w2 = sd.weight(f"head.resblocks.{i}.blocks.{j}.convs2.{m}")
+                blk[f"convs1_{m}_kernel"] = np.ascontiguousarray(np.transpose(w1, (2, 1, 0)))
+                blk[f"convs1_{m}_bias"] = sd(f"head.resblocks.{i}.blocks.{j}.convs1.{m}.bias")
+                blk[f"convs2_{m}_kernel"] = np.ascontiguousarray(np.transpose(w2, (2, 1, 0)))
+                blk[f"convs2_{m}_bias"] = sd(f"head.resblocks.{i}.blocks.{j}.convs2.{m}.bias")
+            rb[f"blocks_{j}"] = blk
+        head[f"resblocks_{i}"] = rb
+
+    params = {"backbone": backbone, "head": head}
+    leftovers = [k for k in sd.unused() if "num_batches" not in k]
+    if leftovers:
+        raise ValueError(f"unconverted reference params: {leftovers}")
+    return params
+
+
 def torch_state_dict_to_numpy(state_dict) -> Dict[str, np.ndarray]:
     """Detach a torch state dict to float32 numpy (caller provides torch tensors)."""
     return {k: np.asarray(v.detach().cpu().numpy(), dtype=np.float32) for k, v in state_dict.items()}

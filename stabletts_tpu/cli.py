@@ -1,0 +1,142 @@
+"""Command-line interface (improvement over the reference's edit-the-source
+config workflow; entry points mirror train.py / preprocess.py / api.py).
+
+Usage:
+  python -m stabletts_tpu.cli preprocess --input filelist.txt --language english
+  python -m stabletts_tpu.cli train --dataset filelists/filelist.json
+  python -m stabletts_tpu.cli train-vocos --dataset audio_dir/
+  python -m stabletts_tpu.cli synth --text "hello" --ref ref.wav --language english \
+      --tts-ckpt ckpt/checkpoint_9 --vocoder-ckpt vocos.pt --vocoder vocos --out out.wav
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def _add_overrides(cfg, args, fields):
+    kw = {}
+    for field in fields:
+        v = getattr(args, field.replace("-", "_"), None)
+        if v is not None:
+            kw[field] = v
+    return dataclasses.replace(cfg, **kw) if kw else cfg
+
+
+def cmd_preprocess(args):
+    from stabletts_tpu.data.preprocess import DataConfig, preprocess
+
+    cfg = DataConfig(
+        input_filelist_path=args.input,
+        output_filelist_path=args.output,
+        mel_output_dir=args.mel_dir,
+        language=args.language,
+    )
+    n = preprocess(cfg)
+    print(f"preprocessed {n} utterances -> {args.output}")
+
+
+def cmd_train(args):
+    from stabletts_tpu.config import TrainConfig
+    from stabletts_tpu.train.train_tts import train
+
+    cfg = TrainConfig()
+    cfg = dataclasses.replace(
+        cfg,
+        train_dataset_path=args.dataset or cfg.train_dataset_path,
+        batch_size=args.batch_size or cfg.batch_size,
+        num_epochs=args.epochs or cfg.num_epochs,
+        model_save_path=args.save_path or cfg.model_save_path,
+        learning_rate=args.lr or cfg.learning_rate,
+    )
+
+    def log_fn(step, metrics):
+        print(json.dumps({"step": step, **{k: float(v) for k, v in metrics.items()}}))
+
+    train(cfg, log_fn=log_fn)
+
+
+def cmd_train_vocos(args):
+    from stabletts_tpu.config import VocosTrainConfig
+    from stabletts_tpu.train.train_vocos import train_vocos
+
+    cfg = VocosTrainConfig()
+    cfg = dataclasses.replace(
+        cfg,
+        train_dataset_path=args.dataset or cfg.train_dataset_path,
+        batch_size=args.batch_size or cfg.batch_size,
+        model_save_path=args.save_path or cfg.model_save_path,
+    )
+
+    def log_fn(step, metrics):
+        print(json.dumps({"step": step, **{k: float(v) for k, v in metrics.items()}}))
+
+    train_vocos(cfg, num_epochs=args.epochs, log_fn=log_fn)
+
+
+def cmd_synth(args):
+    from stabletts_tpu.api import StableTTSAPI
+    from stabletts_tpu.utils.audio_io import save_wav
+
+    api = StableTTSAPI(args.tts_ckpt, args.vocoder_ckpt, args.vocoder)
+    tts_m, voc_m = api.get_params()
+    print(f"tts: {tts_m:.1f}M params, vocoder: {voc_m:.1f}M params")
+    wav, mel = api.inference(
+        args.text, args.ref, args.language,
+        step=args.steps, temperature=args.temperature,
+        length_scale=args.length_scale, solver=args.solver, cfg=args.cfg,
+    )
+    save_wav(args.out, wav[0], api.mel_config.sample_rate)
+    print(f"wrote {args.out} ({wav.shape[1] / api.mel_config.sample_rate:.2f}s)")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="stabletts_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pp = sub.add_parser("preprocess", help="audio+text filelist -> mels + training filelist")
+    pp.add_argument("--input", required=True, help="filelist of 'audio_path|text' lines")
+    pp.add_argument("--output", default="filelists/filelist.json")
+    pp.add_argument("--mel-dir", default="./mels")
+    pp.add_argument("--language", default="chinese", choices=["chinese", "english", "japanese"])
+    pp.set_defaults(fn=cmd_preprocess)
+
+    pt = sub.add_parser("train", help="train the TTS acoustic model")
+    pt.add_argument("--dataset")
+    pt.add_argument("--batch-size", type=int)
+    pt.add_argument("--epochs", type=int)
+    pt.add_argument("--save-path")
+    pt.add_argument("--lr", type=float)
+    pt.set_defaults(fn=cmd_train)
+
+    pv = sub.add_parser("train-vocos", help="train the Vocos GAN vocoder")
+    pv.add_argument("--dataset")
+    pv.add_argument("--batch-size", type=int)
+    pv.add_argument("--epochs", type=int)
+    pv.add_argument("--save-path")
+    pv.set_defaults(fn=cmd_train_vocos)
+
+    ps = sub.add_parser("synth", help="synthesise speech")
+    ps.add_argument("--text", required=True)
+    ps.add_argument("--ref", required=True, help="reference audio (voice to clone)")
+    ps.add_argument("--language", default="english", choices=["chinese", "english", "japanese"])
+    ps.add_argument("--tts-ckpt")
+    ps.add_argument("--vocoder-ckpt")
+    ps.add_argument("--vocoder", default="vocos", choices=["vocos", "ffgan"])
+    ps.add_argument("--steps", type=int, default=10)
+    ps.add_argument("--temperature", type=float, default=1.0)
+    ps.add_argument("--length-scale", type=float, default=1.0)
+    ps.add_argument("--solver", default="euler")
+    ps.add_argument("--cfg", type=float, default=3.0)
+    ps.add_argument("--out", default="output.wav")
+    ps.set_defaults(fn=cmd_synth)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

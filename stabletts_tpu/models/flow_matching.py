@@ -42,11 +42,11 @@ class CFMDecoder(nn.Module):
             gin_channels=self.gin_channels,
         )
 
-    def __call__(self, t, x, mask, mu, c, deterministic: bool = True):
+    def __call__(self, t, x, mask, mu, c, deterministic: bool = True, mu_is_precomputed: bool = False):
         """Velocity field evaluation v(t, x | mu, c) — the ODE integration
         itself lives outside the module (models/sampler.py) so `lax.scan`
         traces the estimator exactly once."""
-        return self.estimator(t, x, mask, mu, c, deterministic)
+        return self.estimator(t, x, mask, mu, c, deterministic, mu_is_precomputed)
 
     def compute_loss(self, x1, mask, mu, c, t_rand, noise, deterministic: bool = False):
         """OT-CFM loss with cosine timestep warp (reference: flow_matching.py:69-100).

@@ -4,6 +4,12 @@ The ODE integration lives here, outside the flax module, so `lax.scan` traces
 the estimator exactly once per solver stage — one compiled block regardless of
 step count (the TPU replacement for torchdiffeq's Python-loop odeint,
 reference: models/flow_matching.py:25-67).
+
+Performance deviations from a naive port (numerics unchanged at fp32):
+  * the estimator's t-independent mu prenet runs ONCE per synthesis, not once
+    per ODE evaluation (and once for the CFG unconditional branch)
+  * optional bfloat16 compute (`compute_dtype`): params and activations are
+    cast to bf16 for the MXU-heavy path; outputs return as float32
 """
 
 from __future__ import annotations
@@ -17,9 +23,16 @@ from stabletts_tpu.models.stabletts import StableTTS
 from stabletts_tpu.ops.ode import odeint
 
 
+def cast_tree(tree, dtype):
+    """Cast all floating-point leaves to dtype."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree
+    )
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "n_timesteps", "solver", "max_mel_len", "cfg"),
+    static_argnames=("model", "n_timesteps", "solver", "max_mel_len", "cfg", "compute_dtype"),
 )
 def synthesise(
     model: StableTTS,
@@ -34,35 +47,49 @@ def synthesise(
     solver: str = "euler",
     cfg: float = 1.0,
     max_mel_len: int = 1000,
+    compute_dtype=None,
 ) -> dict:
     """Full synthesise (reference: models/model.py:48-112), jit end to end.
 
     x: [B, Tx] phoneme ids; noise: [B, max_mel_len, n_mels] standard normal;
     y_ref: [B, Tref, n_mels] reference mel. Returns dict with decoder_outputs
-    [B, max_mel_len, n_mels] and y_lengths for trimming.
+    [B, max_mel_len, n_mels] (float32) and y_lengths for trimming.
     """
+    if compute_dtype is not None:
+        variables = cast_tree(variables, compute_dtype)
+        noise = noise.astype(compute_dtype)
+        y_ref = y_ref.astype(compute_dtype)
+
     prep = model.apply(
         variables, x, x_lengths, y_ref, max_mel_len, length_scale,
         method=StableTTS.prepare_synthesis,
     )
     mu_y, c, y_mask = prep["mu_y"], prep["c"], prep["y_mask"]
 
+    h_mu = model.apply(variables, mu_y, method=StableTTS.precompute_mu)
     cfg_on = cfg != 1.0
+    if cfg_on:
+        fake_h_mu = model.apply(
+            variables, mu_y.shape[0], mu_y.shape[1], method=StableTTS.precompute_fake_mu
+        )
 
     def f(t, xt):
-        tb = jnp.broadcast_to(t, (xt.shape[0],))
+        tb = jnp.broadcast_to(t, (xt.shape[0],)).astype(xt.dtype)
         if cfg_on:
             return model.apply(
-                variables, tb, xt, y_mask, mu_y, c, cfg, method=StableTTS.cfg_velocity
+                variables, tb, xt, y_mask, h_mu, c, cfg, fake_h_mu, True,
+                method=StableTTS.cfg_velocity,
             )
-        return model.apply(variables, tb, xt, y_mask, mu_y, c, method=StableTTS.velocity)
+        return model.apply(
+            variables, tb, xt, y_mask, h_mu, c, True, method=StableTTS.velocity
+        )
 
-    t_span = jnp.linspace(0.0, 1.0, n_timesteps + 1)
+    t_span = jnp.linspace(0.0, 1.0, n_timesteps + 1).astype(noise.dtype)
     mel = odeint(f, noise * temperature, t_span, method=solver)
     return {
-        "encoder_outputs": prep["mu_y"],
-        "decoder_outputs": mel,
-        "attn": prep["attn"],
+        "encoder_outputs": mu_y.astype(jnp.float32),
+        "decoder_outputs": mel.astype(jnp.float32),
+        "attn": prep["attn"].astype(jnp.float32),
         "y_lengths": prep["y_lengths"],
-        "y_mask": y_mask,
+        "y_mask": y_mask.astype(jnp.float32),
     }

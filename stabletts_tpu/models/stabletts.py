@@ -120,18 +120,28 @@ class StableTTS(nn.Module):
             "attn": attn,
         }
 
-    def velocity(self, t, xt, y_mask, mu, c):
+    def velocity(self, t, xt, y_mask, mu, c, mu_is_precomputed: bool = False):
         """Conditional velocity field for the ODE sampler. t: [B]."""
-        return self.decoder(t, xt, y_mask, mu, c, True)
+        return self.decoder(t, xt, y_mask, mu, c, True, mu_is_precomputed)
 
-    def cfg_velocity(self, t, xt, y_mask, mu, c, cfg_strength):
+    def precompute_mu(self, mu):
+        """Hoist the t-independent estimator prenet out of the ODE loop."""
+        return self.decoder.estimator.precompute_mu(mu)
+
+    def precompute_fake_mu(self, b: int, t_len: int):
+        """Prenet over the learned unconditional content embedding (CFG)."""
+        fake_mu = jnp.broadcast_to(self.fake_content[:, None, :], (b, t_len, self.mel_channels))
+        return self.decoder.estimator.precompute_mu(fake_mu)
+
+    def cfg_velocity(self, t, xt, y_mask, mu, c, cfg_strength, fake_mu=None, mu_is_precomputed: bool = False):
         """Classifier-free-guided velocity: uncond + s * (cond - uncond)
         (reference: models/flow_matching.py:58-67)."""
         b, t_len = mu.shape[0], mu.shape[1]
         fake_c = jnp.broadcast_to(self.fake_speaker, (b, self.gin_channels))
-        fake_mu = jnp.broadcast_to(self.fake_content[:, None, :], (b, t_len, self.mel_channels))
-        cond = self.decoder(t, xt, y_mask, mu, c, True)
-        uncond = self.decoder(t, xt, y_mask, fake_mu, fake_c, True)
+        if fake_mu is None:
+            fake_mu = jnp.broadcast_to(self.fake_content[:, None, :], (b, t_len, self.mel_channels))
+        cond = self.decoder(t, xt, y_mask, mu, c, True, mu_is_precomputed)
+        uncond = self.decoder(t, xt, y_mask, fake_mu, fake_c, True, mu_is_precomputed)
         return uncond + cfg_strength * (cond - uncond)
 
     def __call__(self, x, x_lengths, y, y_lengths, z, z_lengths, deterministic: bool = False):

@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from stabletts_tpu.config import MelConfig, VocosConfig
-from stabletts_tpu.ops.istft import istft_same
+from stabletts_tpu.ops.istft import istft_same_real
 
 
 class ConvNeXtBlock(nn.Module):
@@ -70,13 +70,14 @@ class ISTFTHead(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.n_fft + 2, name="out")(x)  # [B, T, n_fft + 2]
-        mag, p = jnp.split(x, 2, axis=-1)
+        mag, p = jnp.split(x.astype(jnp.float32), 2, axis=-1)
         mag = jnp.exp(mag)
         mag = jnp.clip(mag, max=1e2)
-        # build the complex spectrum from real parts: this TPU backend supports
-        # FFTs and lax.complex but not complex elementwise arithmetic
-        spec = jax.lax.complex(mag * jnp.cos(p), mag * jnp.sin(p))
-        return istft_same(spec, self.n_fft, self.hop_length, self.n_fft)
+        # complex spectrum kept as (re, im): the iDFT runs as an MXU matmul
+        # (istft_same_real) — no complex dtype, no TPU FFT
+        return istft_same_real(
+            mag * jnp.cos(p), mag * jnp.sin(p), self.n_fft, self.hop_length, self.n_fft
+        )
 
 
 class Vocos(nn.Module):

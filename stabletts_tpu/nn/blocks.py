@@ -68,7 +68,12 @@ def masked_sdpa(
 
 class MultiHeadAttention(nn.Module):
     """Self-attention with 1x1-conv projections and partial RoPE
-    (reference: models/diffusion_transformer.py:33-81)."""
+    (reference: models/diffusion_transformer.py:33-81).
+
+    Inference uses ops.attention.masked_attention (fused Pallas flash on TPU);
+    training with attention dropout takes the einsum path so weights can be
+    dropped, matching torch SDPA's dropout_p (diffusion_transformer.py:77).
+    """
 
     channels: int
     out_channels: int
@@ -76,7 +81,10 @@ class MultiHeadAttention(nn.Module):
     p_dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, attn_bias=None, deterministic: bool = True):
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        from stabletts_tpu.ops.attention import masked_attention
+        from stabletts_tpu.ops.mask import attn_bias_from_mask
+
         b, t, _ = x.shape
         head_dim = self.channels // self.n_heads
         rotary_dim = int(head_dim * 0.5)
@@ -88,15 +96,16 @@ class MultiHeadAttention(nn.Module):
         q = apply_rope(q, rotary_dim)
         k = apply_rope(k, rotary_dim)
 
-        scale = 1.0 / math.sqrt(head_dim)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
-        if attn_bias is not None:
-            logits = logits + attn_bias
-        weights = jax.nn.softmax(logits, axis=-1)
-        # dropout on attention weights, matching torch SDPA's dropout_p
-        # (reference: diffusion_transformer.py:77)
-        weights = nn.Dropout(self.p_dropout)(weights, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+        if deterministic or self.p_dropout == 0.0:
+            out = masked_attention(q, k, v, mask=mask)
+        else:
+            scale = 1.0 / math.sqrt(head_dim)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+            if mask is not None:
+                logits = logits + attn_bias_from_mask(mask, dtype=logits.dtype)
+            weights = jax.nn.softmax(logits, axis=-1)
+            weights = nn.Dropout(self.p_dropout)(weights, deterministic=False)
+            out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
         out = out.reshape(b, t, self.channels)
         return nn.Dense(self.out_channels, name="conv_o")(out)
 
@@ -134,11 +143,8 @@ class DiTConVBlock(nn.Module):
     @nn.compact
     def __call__(self, x, c, mask, deterministic: bool = True):
         """x: [B, T, C], c: [B, gin], mask: [B, T] -> [B, T, C]."""
-        from stabletts_tpu.ops.mask import attn_bias_from_mask
-
         m = mask[..., None]
         x = x * m
-        attn_bias = attn_bias_from_mask(mask, dtype=x.dtype)
 
         h = c
         if self.gin_channels != self.hidden_channels:
@@ -166,7 +172,7 @@ class DiTConVBlock(nn.Module):
         )
 
         x = x + gate_msa * attn(
-            _modulate(norm1(x), shift_msa, scale_msa), attn_bias, deterministic
+            _modulate(norm1(x), shift_msa, scale_msa), mask, deterministic
         ) * m
         x = x + gate_mlp * mlp(
             _modulate(norm2(x), shift_mlp, scale_mlp), mask, deterministic

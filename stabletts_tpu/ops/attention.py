@@ -1,0 +1,121 @@
+"""Attention ops: XLA einsum path and a fused Pallas flash path.
+
+The DiT attention at T≈1000 is the inference hot spot and is HBM-bound in the
+einsum formulation (the [B, H, T, T] logits tensor is materialized). The
+Pallas flash kernel (jax.experimental.pallas.ops.tpu.flash_attention) never
+materializes it; with tuned block sizes it measures ~1.7x faster than the XLA
+path on TPU v5e at [32, 4, 1024, 64].
+
+Padding semantics: sequences are padded to a block-size multiple and masked
+via segment ids (valid tokens = segment 1, padding = segment 0), so valid
+positions never attend to padding. Outputs at padding positions are garbage
+and must be masked by the caller (all call sites already do).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+import os
+
+_DEFAULT_IMPL = os.environ.get("STABLETTS_ATTN_IMPL", "auto")
+_FLASH_BLOCK = 512
+_FLASH_MIN_T = 256
+
+
+def set_default_impl(impl: str) -> None:
+    """Set the process-wide default attention implementation:
+    'auto' | 'xla' | 'flash'."""
+    global _DEFAULT_IMPL
+    assert impl in ("auto", "xla", "flash")
+    _DEFAULT_IMPL = impl
+
+
+def _resolve_impl(impl: Optional[str], seq_len: int) -> str:
+    impl = impl or _DEFAULT_IMPL
+    if impl != "auto":
+        return impl
+    # measured on v5e at [32, 4, 1024, 64]: flash is 1.7x faster in isolation
+    # (1.0 vs 1.8 ms) but SLOWER inside the full jitted pipeline (the pallas
+    # call boundary blocks XLA fusion with the surrounding DiT block), so the
+    # einsum path is the default; opt in via STABLETTS_ATTN_IMPL=flash.
+    return "xla"
+
+
+def _xla_attention(q, k, v, bias):
+    """q/k/v: [B, T, H, D]; bias: [B, 1, Tq, Tk] additive or None."""
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    if bias is not None:
+        logits = logits + bias
+    weights = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+
+
+def _flash_attention(q, k, v, mask):
+    """q/k/v: [B, T, H, D]; mask: [B, T] validity or None."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, t, h, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    t_pad = -(-t // _FLASH_BLOCK) * _FLASH_BLOCK
+
+    def to_bhtd(x):
+        x = jnp.swapaxes(x, 1, 2)  # [B, H, T, D]
+        if t_pad != t:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t), (0, 0)))
+        return x
+
+    qb, kb, vb = to_bhtd(q), to_bhtd(k), to_bhtd(v)
+
+    seg = None
+    if mask is not None or t_pad != t:
+        valid = jnp.ones((b, t), jnp.int32) if mask is None else (mask > 0).astype(jnp.int32)
+        if t_pad != t:
+            valid = jnp.pad(valid, ((0, 0), (0, t_pad - t)))
+        seg = SegmentIds(q=valid, kv=valid)
+
+    block = min(_FLASH_BLOCK, t_pad)
+    sizes = BlockSizes(
+        block_q=block, block_k_major=block, block_k=block, block_b=1,
+        block_q_major_dkv=block, block_k_major_dkv=block,
+        block_k_dkv=block, block_q_dkv=block,
+        block_k_major_dq=block, block_k_dq=block, block_q_dq=block,
+    )
+    out = flash_attention(
+        qb, kb, vb, segment_ids=seg, causal=False, sm_scale=scale, block_sizes=sizes
+    )
+    out = jnp.swapaxes(out, 1, 2)  # [B, T_pad, H, D]
+    return out[:, :t]
+
+
+def masked_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    impl: Optional[str] = None,
+) -> jnp.ndarray:
+    """Self/cross attention on [B, T, H, D] inputs.
+
+    Provide either `mask` ([B, T] validity — used by both paths) or a full
+    additive `bias` ([B, 1, Tq, Tk] — forces the XLA path).
+    """
+    resolved = _resolve_impl(impl, q.shape[1])
+    if resolved == "flash" and bias is None and q.shape[1] == k.shape[1]:
+        return _flash_attention(q, k, v, mask)
+    if bias is None and mask is not None:
+        from stabletts_tpu.ops.mask import attn_bias_from_mask
+
+        bias = attn_bias_from_mask(mask, dtype=q.dtype)
+    return _xla_attention(q, k, v, bias)

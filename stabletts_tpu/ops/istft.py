@@ -13,6 +13,7 @@ XLA fuses into a handful of vectorized ops instead of a serial scatter.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,6 +48,54 @@ def window_envelope(window: np.ndarray, n_frames: int, hop_length: int) -> np.nd
     for i in range(n_frames):
         env[i * hop_length : i * hop_length + win] += wsq
     return env.astype(window.dtype)
+
+
+def idft_matrix_windowed(n_fft: int, win_length: int) -> jnp.ndarray:
+    """[n_fft + 2, n_fft] matrix W such that concat([re, im], -1) @ W equals
+    irfft(re + i*im, n_fft) * hann_window — the per-frame iDFT + windowing of
+    the ISTFT head as ONE MXU matmul (~4x faster than the TPU FFT path at
+    n_fft=2048, and one fewer elementwise pass for the window).
+
+    Built in-graph from iota (not as an embedded constant): the tunneled
+    remote-compile service rejects HLO programs with multi-MB literals.
+    """
+    n_freqs = n_fft // 2 + 1
+    k = jax.lax.broadcasted_iota(jnp.float32, (n_freqs, n_fft), 0)
+    n = jax.lax.broadcasted_iota(jnp.float32, (n_freqs, n_fft), 1)
+    ang = 2.0 * jnp.pi * k * n / n_fft
+    # hermitian symmetry: interior bins count twice; DC and nyquist once
+    scale = jnp.where((k == 0) | (k == n_freqs - 1), 1.0, 2.0) / n_fft
+    cos_part = jnp.cos(ang) * scale
+    sin_part = -jnp.sin(ang) * scale
+    win = jnp.asarray(hann_window(win_length))
+    if win_length < n_fft:
+        win = jnp.pad(win, (0, n_fft - win_length))
+    return jnp.concatenate([cos_part, sin_part], axis=0) * win[None, :]
+
+
+def istft_same_real(
+    re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop_length: int, win_length: int
+) -> jnp.ndarray:
+    """Real/imag spectrogram [B, T, n_freqs] each -> waveform [B, T * hop].
+
+    Matmul-iDFT formulation of `istft_same` (no complex dtype, no FFT):
+    per-frame inverse transform + window as one f32-precision matmul, then
+    overlap-add and envelope normalization.
+    """
+    window = hann_window(win_length)
+    pad = (win_length - hop_length) // 2
+    n_frames = re.shape[1]
+
+    w_mat = idft_matrix_windowed(n_fft, win_length)
+    spec_cat = jnp.concatenate([re, im], axis=-1).astype(jnp.float32)
+    frames = jax.lax.dot_general(
+        spec_cat, w_mat, (((2,), (0,)), ((), ())), precision="float32"
+    )  # [B, T, n_fft], already windowed
+    y = overlap_add(frames, hop_length)
+
+    env = window_envelope(window, n_frames, hop_length)
+    assert (env[pad:-pad] > 1e-11).all(), "NOLA violated"
+    return y[:, pad:-pad] / jnp.asarray(env[pad:-pad])
 
 
 def istft_same(spec: jnp.ndarray, n_fft: int, hop_length: int, win_length: int) -> jnp.ndarray:

@@ -61,8 +61,8 @@ def odeint_fixed(
 
     def body(y, t_dt):
         t, dt = t_dt
-        y = stepper(y, t, dt)
-        return y, None
+        y_new = stepper(y, t, dt).astype(y.dtype)  # keep the carry dtype stable
+        return y_new, None
 
     y_final, _ = jax.lax.scan(body, y0, (ts, dts))
     return y_final

@@ -57,6 +57,21 @@ def test_istft_matches_reference_torch():
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_istft_matmul_matches_fft_path():
+    """istft_same_real (MXU matmul iDFT) == istft_same (irfft path)."""
+    from stabletts_tpu.ops.istft import istft_same_real
+
+    n_fft, hop, win = 2048, 512, 2048
+    rng = np.random.default_rng(3)
+    T = 12
+    re = rng.standard_normal((2, T, n_fft // 2 + 1)).astype(np.float32)
+    im = rng.standard_normal((2, T, n_fft // 2 + 1)).astype(np.float32)
+    spec = (re + 1j * im).astype(np.complex64)
+    ref = np.asarray(istft_same(jnp.asarray(spec), n_fft, hop, win))
+    got = np.asarray(istft_same_real(jnp.asarray(re), jnp.asarray(im), n_fft, hop, win))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_stft_istft_roundtrip():
     """A real signal survives STFT -> ISTFT (away from edges)."""
     n_fft, hop, win = 2048, 512, 2048

@@ -44,13 +44,24 @@ class VocosDataset:
         return len(self.filelist)
 
     def get_segment(self, idx: int, rng: np.random.Generator) -> np.ndarray:
-        """[segment_size] float32 random crop, zero-padded if too short."""
-        wav = load_and_resample_audio(self.filelist[idx], self.sample_rate)
+        """[segment_size] float32 random crop, zero-padded if too short.
+
+        Fast path: the native C++ segment loader (decode + resample + crop
+        without materializing the full file on the Python side)."""
+        path = self.filelist[idx]
+        start_frac = float(rng.random())
+        if path.endswith(".wav"):
+            from stabletts_tpu.native import load_segment_native
+
+            seg = load_segment_native(path, self.sample_rate, self.segment_size, start_frac)
+            if seg is not None:
+                return seg
+        wav = load_and_resample_audio(path, self.sample_rate)
         if wav is None:
             return np.zeros((self.segment_size,), dtype=np.float32)
         if wav.shape[0] < self.segment_size:
             wav = np.pad(wav, (0, self.segment_size - wav.shape[0]))
-        start = int(rng.integers(0, wav.shape[0] - self.segment_size + 1))
+        start = int(start_frac * (wav.shape[0] - self.segment_size + 1))
         return wav[start : start + self.segment_size].astype(np.float32)
 
     def batch(self, indices, rng: np.random.Generator) -> np.ndarray:

@@ -53,7 +53,18 @@ def resample(wav: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
 
 def load_and_resample_audio(path: str, target_sr: int) -> Optional[np.ndarray]:
     """Load + mono + resample; returns None on failure
-    (reference: utils/audio.py:59-74 returns None on load errors)."""
+    (reference: utils/audio.py:59-74 returns None on load errors).
+
+    Uses the native C++ loader (WAV parse + windowed-sinc resample,
+    native/audio.cpp) when built; falls back to scipy."""
+    try:
+        from stabletts_tpu.native import load_wav_native
+
+        result = load_wav_native(path, target_sr)
+        if result is not None:
+            return result[0]
+    except Exception:
+        pass
     try:
         wav, sr = load_audio(path)
     except Exception as e:  # noqa: BLE001 — mirror reference behavior

@@ -15,7 +15,7 @@ from stabletts_tpu.models.duration_predictor import DurationPredictor, duration_
 from stabletts_tpu.models.flow_matching import CFMDecoder
 from stabletts_tpu.models.reference_encoder import MelStyleEncoder
 from stabletts_tpu.models.text_encoder import TextEncoder
-from stabletts_tpu.ops.mas import maximum_path
+from stabletts_tpu.ops.mas import maximum_path_auto
 from stabletts_tpu.ops.mask import sequence_mask
 
 _LOG_2PI = math.log(2 * math.pi)
@@ -178,7 +178,9 @@ class StableTTS(nn.Module):
             - 0.5 * jnp.sum(mu_x ** 2, axis=-1)[:, None, :]  # [B, 1, Tx]
         )
         attn_mask_yx = y_mask[:, :, None] * x_mask[:, None, :]  # [B, Ty, Tx]
-        attn = jax.lax.stop_gradient(maximum_path(jax.lax.stop_gradient(neg_cent), attn_mask_yx))
+        attn = jax.lax.stop_gradient(
+            maximum_path_auto(jax.lax.stop_gradient(neg_cent), attn_mask_yx)
+        )
         attn = attn.astype(y.dtype)
 
         logw_ = jnp.log(1e-8 + jnp.sum(attn, axis=1))[..., None] * x_mask[..., None]

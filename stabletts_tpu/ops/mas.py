@@ -93,6 +93,21 @@ def maximum_path(neg_cent: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return _backtrace(value, t_ys, t_xs)
 
 
+def maximum_path_auto(neg_cent: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Dispatch to the Pallas kernel on TPU when its VMEM working set fits
+    (decision-bit table + row buffers), else the lax.scan kernel. The Pallas
+    kernel measures ~2.2x faster at the training shape [32, 1000, 384]."""
+    b, t_y, t_x = neg_cent.shape
+    b_pad = -(-b // 8) * 8
+    t_x_pad = -(-t_x // 128) * 128
+    vmem_bytes = t_y * b_pad * t_x_pad + 6 * b_pad * t_x_pad * 4
+    if jax.default_backend() not in ("cpu", "gpu") and vmem_bytes < 13 * 2 ** 20:
+        from stabletts_tpu.ops.mas_pallas import maximum_path_pallas
+
+        return maximum_path_pallas(neg_cent, mask)
+    return maximum_path(neg_cent, mask)
+
+
 def maximum_path_numpy(neg_cent: np.ndarray, t_ys: np.ndarray, t_xs: np.ndarray) -> np.ndarray:
     """Pure-numpy oracle with the reference kernel's exact semantics (for tests)."""
     b, t_y_max, t_x_max = neg_cent.shape

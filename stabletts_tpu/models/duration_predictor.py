@@ -42,5 +42,6 @@ class DurationPredictor(nn.Module):
 
 def duration_loss(logw, logw_, lengths):
     """MSE over log-durations normalized by total text length
-    (reference: models/duration_predictor.py:38-40)."""
-    return jnp.sum((logw - logw_) ** 2) / jnp.sum(lengths)
+    (reference: models/duration_predictor.py:38-40). Reduction in f32."""
+    sq = ((logw - logw_).astype(jnp.float32)) ** 2
+    return jnp.sum(sq) / jnp.sum(lengths)

@@ -61,5 +61,7 @@ class CFMDecoder(nn.Module):
         y = (1 - (1 - self.sigma_min) * t3) * noise + t3 * x1
         u = x1 - (1 - self.sigma_min) * noise
         pred = self.estimator(t, y, mask, mu, c, deterministic)
-        loss = jnp.sum((pred - u) ** 2) / (jnp.sum(mask) * u.shape[-1])
+        # reductions in f32 (matters under bf16 mixed-precision training)
+        sq = ((pred - u).astype(jnp.float32)) ** 2
+        loss = jnp.sum(sq) / (jnp.sum(mask.astype(jnp.float32)) * u.shape[-1])
         return loss, y

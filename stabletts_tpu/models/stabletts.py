@@ -197,7 +197,8 @@ class StableTTS(nn.Module):
             y, y_mask, mu_y_masked, c, t_rand, noise, deterministic
         )
 
-        prior = jnp.sum(0.5 * ((y - mu_y) ** 2 + _LOG_2PI) * y_mask[..., None])
-        prior = prior / (jnp.sum(y_mask) * self.mel_channels)
+        resid = (y - mu_y).astype(jnp.float32)
+        prior = jnp.sum(0.5 * (resid ** 2 + _LOG_2PI) * y_mask[..., None].astype(jnp.float32))
+        prior = prior / (jnp.sum(y_mask.astype(jnp.float32)) * self.mel_channels)
 
         return dur, diff, prior, attn

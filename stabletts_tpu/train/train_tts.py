@@ -34,8 +34,18 @@ def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransfor
     )
 
 
-def make_train_step(model: StableTTS, tx: optax.GradientTransformation) -> Callable:
-    """Returns train_step(state, batch, base_rng) -> (state, metrics)."""
+def make_train_step(
+    model: StableTTS,
+    tx: optax.GradientTransformation,
+    compute_dtype=None,
+) -> Callable:
+    """Returns train_step(state, batch, base_rng) -> (state, metrics).
+
+    With compute_dtype=jnp.bfloat16, the forward/backward run in bf16 against
+    f32 master params (loss reductions stay f32); grads and the optimizer are
+    f32. The reference trains pure fp32 (train.py has no AMP), so fp32 is the
+    default here too.
+    """
 
     def train_step(state: TrainState, batch, base_rng):
         x, x_lengths, y, y_lengths, z, z_lengths = batch
@@ -43,9 +53,18 @@ def make_train_step(model: StableTTS, tx: optax.GradientTransformation) -> Calla
         cfg_rng, time_rng, noise_rng, drop_rng = jax.random.split(step_rng, 4)
 
         def loss_fn(params):
+            if compute_dtype is not None:
+                params = jax.tree_util.tree_map(
+                    lambda p: p.astype(compute_dtype)
+                    if jnp.issubdtype(p.dtype, jnp.floating) else p,
+                    params,
+                )
+                yy, zz = y.astype(compute_dtype), z.astype(compute_dtype)
+            else:
+                yy, zz = y, z
             dur, diff, prior, _ = model.apply(
                 {"params": params},
-                x, x_lengths, y, y_lengths, z, z_lengths, False,
+                x, x_lengths, yy, y_lengths, zz, z_lengths, False,
                 rngs={"cfg": cfg_rng, "time": time_rng, "noise": noise_rng, "dropout": drop_rng},
             )
             return dur + diff + prior, (dur, diff, prior)
@@ -111,7 +130,8 @@ def train(
     state = TrainState(step=start_epoch * steps_per_epoch, params=params, opt_state=opt_state)
     state = mesh_lib.replicate(mesh, state)
 
-    train_step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+    compute_dtype = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else None
+    train_step = jax.jit(make_train_step(model, tx, compute_dtype), donate_argnums=(0,))
     base_rng = jax.random.PRNGKey(train_cfg.seed + 1)
 
     for epoch in range(start_epoch, train_cfg.num_epochs):

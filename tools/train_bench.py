@@ -20,6 +20,7 @@ def main():
     ap.add_argument("--text-len", type=int, default=384)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     args = ap.parse_args()
 
     import jax
@@ -41,7 +42,8 @@ def main():
     variables = init_stabletts_params(model, jax.random.PRNGKey(0))
     tx_opt = make_optimizer(TrainConfig(), total_steps=10000)
     state = TrainState(0, variables["params"], tx_opt.init(variables["params"]))
-    step_fn = jax.jit(make_train_step(model, tx_opt), donate_argnums=(0,))
+    compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+    step_fn = jax.jit(make_train_step(model, tx_opt, compute_dtype), donate_argnums=(0,))
 
     rng = np.random.default_rng(0)
     batch = (

@@ -150,6 +150,63 @@ class StableTTSAPI:
         audio = self._vocoder_apply(self.vocoder_variables, mel)
         return np.asarray(audio), np.asarray(mel).transpose(0, 2, 1)
 
+    def batch_inference(
+        self,
+        items: list,
+        ref_audio: str | np.ndarray,
+        step: int = 10,
+        temperature: float = 1.0,
+        length_scale: float = 1.0,
+        solver: str = "euler",
+        cfg: float = 3.0,
+        max_mel_len: int = 1024,
+        seed: int = 0,
+    ) -> list:
+        """Batched multilingual inference: items is a list of (text, language)
+        pairs sharing one reference voice; one jitted synthesise + vocoder
+        call covers the whole batch. Returns a list of waveforms.
+
+        Text lengths are padded to a shared shape; outputs are trimmed per
+        item by the predicted durations.
+        """
+        from stabletts_tpu.ops.mask import sequence_mask
+
+        id_lists = []
+        for text, language in items:
+            phonemizer = self.g2p_mapping.get(language)
+            if phonemizer is None:
+                raise ValueError(f"language {language!r} not supported")
+            id_lists.append(intersperse(cleaned_text_to_sequence(phonemizer(text)), 0))
+        b = len(id_lists)
+        tx = max(len(ids) for ids in id_lists)
+        x = np.zeros((b, tx), dtype=np.int32)
+        x_lengths = np.zeros((b,), dtype=np.int32)
+        for i, ids in enumerate(id_lists):
+            x[i, : len(ids)] = ids
+            x_lengths[i] = len(ids)
+
+        if isinstance(ref_audio, str):
+            wav = load_and_resample_audio(ref_audio, self.mel_config.sample_rate)
+            if wav is None:
+                raise ValueError(f"could not load reference audio {ref_audio}")
+        else:
+            wav = np.asarray(ref_audio, dtype=np.float32)
+        ref_mel = log_mel_spectrogram(jnp.asarray(wav)[None, :], self.mel_config)
+        ref_mel = jnp.broadcast_to(ref_mel, (b,) + ref_mel.shape[1:])
+
+        noise = jax.random.normal(
+            jax.random.PRNGKey(seed), (b, max_mel_len, self.mel_config.n_mels)
+        )
+        out = synthesise(
+            self.tts_model, self.tts_variables, jnp.asarray(x), jnp.asarray(x_lengths),
+            noise, ref_mel, n_timesteps=step, temperature=temperature,
+            length_scale=length_scale, solver=solver, cfg=cfg, max_mel_len=max_mel_len,
+        )
+        audio = np.asarray(self._vocoder_apply(self.vocoder_variables, out["decoder_outputs"]))
+        y_lengths = np.asarray(out["y_lengths"])
+        hop = self.mel_config.hop_length
+        return [audio[i, : y_lengths[i] * hop] for i in range(b)]
+
     def get_params(self) -> Tuple[float, float]:
         """(tts_params_M, vocoder_params_M) (reference: api.py:79-82)."""
         count = lambda tree: sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(tree))

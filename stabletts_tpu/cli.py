@@ -77,6 +77,13 @@ def cmd_train_vocos(args):
     train_vocos(cfg, num_epochs=args.epochs, log_fn=log_fn)
 
 
+def cmd_preprocess_vocos(args):
+    from stabletts_tpu.data.vocos_dataset import vocos_preprocess
+
+    n = vocos_preprocess(args.input, args.output)
+    print(f"found {n} audio files -> {args.output}")
+
+
 def cmd_synth(args):
     from stabletts_tpu.api import StableTTSAPI
     from stabletts_tpu.utils.audio_io import save_wav
@@ -118,6 +125,11 @@ def main(argv=None):
     pv.add_argument("--epochs", type=int)
     pv.add_argument("--save-path")
     pv.set_defaults(fn=cmd_train_vocos)
+
+    pvp = sub.add_parser("preprocess-vocos", help="scan an audio dir into a vocoder filelist")
+    pvp.add_argument("--input", required=True, help="audio directory")
+    pvp.add_argument("--output", default="filelists/filelist.txt")
+    pvp.set_defaults(fn=cmd_preprocess_vocos)
 
     ps = sub.add_parser("synth", help="synthesise speech")
     ps.add_argument("--text", required=True)

@@ -28,6 +28,17 @@ def find_audio_files(directory: str) -> List[str]:
     return sorted(out)
 
 
+def vocos_preprocess(directory: str, output_filelist_path: str) -> int:
+    """Directory walk -> filelist txt (reference: vocoders/vocos/preprocess.py).
+    Returns the number of audio files found."""
+    files = find_audio_files(directory)
+    os.makedirs(os.path.dirname(os.path.abspath(output_filelist_path)), exist_ok=True)
+    with open(output_filelist_path, "w", encoding="utf-8") as f:
+        for path in files:
+            f.write(path + "\n")
+    return len(files)
+
+
 class VocosDataset:
     def __init__(self, filelist_path: str, segment_size: int, sample_rate: int):
         self.segment_size = segment_size

@@ -63,6 +63,50 @@ class SelfAttention(nn.Module):
         return nn.Dense(self.embed_dim, name="out_proj")(out)
 
 
+class AttnMelStyleEncoder(nn.Module):
+    """Attention-pool variant of MelStyleEncoder: a masked-mean query token is
+    prepended and its attention output becomes the style vector
+    (reference: models/reference_encoder.py:95-168 — dead code in the
+    reference, provided for completeness)."""
+
+    n_mel_channels: int = 80
+    style_hidden: int = 128
+    style_vector_dim: int = 256
+    style_kernel_size: int = 5
+    style_head: int = 2
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None, deterministic: bool = True):
+        x = nn.Dense(self.style_hidden, name="spectral_0")(x)
+        x = mish(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(self.style_hidden, name="spectral_3")(x)
+        x = mish(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = Conv1dGLU(self.style_hidden, self.style_kernel_size, self.dropout, name="temporal_0")(
+            x, deterministic
+        )
+        x = Conv1dGLU(self.style_hidden, self.style_kernel_size, self.dropout, name="temporal_1")(
+            x, deterministic
+        )
+        if mask is None:
+            avg = jnp.mean(x, axis=1, keepdims=True)
+            key_padding_mask = None
+        else:
+            m = mask[..., None]
+            avg = (jnp.sum(x * m, axis=1) / jnp.sum(m, axis=1))[:, None, :]
+            # the prepended pooled token is always attendable
+            key_padding_mask = jnp.concatenate(
+                [jnp.zeros((x.shape[0], 1), bool), mask <= 0], axis=1
+            )
+        x = jnp.concatenate([avg, x], axis=1)
+        x = SelfAttention(self.style_hidden, self.style_head, self.dropout, name="slf_attn")(
+            x, key_padding_mask, deterministic
+        )
+        return nn.Dense(self.style_vector_dim, name="fc")(x[:, 0, :])
+
+
 class MelStyleEncoder(nn.Module):
     """Mel [B, T, n_mels] -> style vector [B, style_vector_dim]
     (reference: models/reference_encoder.py:25-92)."""

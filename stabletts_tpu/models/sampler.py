@@ -48,6 +48,7 @@ def synthesise(
     cfg: float = 1.0,
     max_mel_len: int = 1000,
     compute_dtype=None,
+    y_ref_mask=None,
 ) -> dict:
     """Full synthesise (reference: models/model.py:48-112), jit end to end.
 
@@ -61,7 +62,7 @@ def synthesise(
         y_ref = y_ref.astype(compute_dtype)
 
     prep = model.apply(
-        variables, x, x_lengths, y_ref, max_mel_len, length_scale,
+        variables, x, x_lengths, y_ref, max_mel_len, length_scale, y_ref_mask,
         method=StableTTS.prepare_synthesis,
     )
     mu_y, c, y_mask = prep["mu_y"], prep["c"], prep["y_mask"]

@@ -90,6 +90,7 @@ class StableTTS(nn.Module):
         y_ref: jnp.ndarray,
         max_mel_len: int,
         length_scale: float = 1.0,
+        y_ref_mask: Optional[jnp.ndarray] = None,
     ) -> dict:
         """Encoder half of synthesise (reference: models/model.py:77-96).
 
@@ -99,7 +100,10 @@ class StableTTS(nn.Module):
         (model.py:83-91) so everything jit-compiles with static shapes;
         y_lengths reports the true (clipped) lengths for host-side trimming.
         """
-        c = self.ref_encoder(y_ref, None, True)
+        # y_ref_mask=None matches the reference exactly (synthesise passes no
+        # ref mask, model.py:79); provide one when batching refs of unequal
+        # length so the masked mean-pool stays correct
+        c = self.ref_encoder(y_ref, y_ref_mask, True)
         x, mu_x, x_mask = self.encoder(x, c, x_lengths, True)
         logw = self.dp(x, x_mask, c, True)  # [B, Tx, 1]
 

@@ -59,3 +59,60 @@ def inverse_sqrt_with_warmup(lr: float, warmup_steps: int) -> optax.Schedule:
         return lr * jnp.where(step < warmup_steps, warm, decay)
 
     return schedule
+
+
+def cosine_with_restarts_warmup(
+    lr: float, warmup_steps: int, total_steps: int, num_cycles: int = 1
+) -> optax.Schedule:
+    """Hard-restart cosine (reference: utils/scheduler.py cosine-with-restarts)."""
+
+    def schedule(step):
+        import jax.numpy as jnp
+
+        warm = step / jnp.maximum(warmup_steps, 1)
+        progress = jnp.clip(
+            (step - warmup_steps) / jnp.maximum(total_steps - warmup_steps, 1), 0.0, 1.0
+        )
+        cyc = (progress * num_cycles) % 1.0
+        cos = jnp.maximum(0.0, 0.5 * (1.0 + jnp.cos(jnp.pi * cyc)))
+        decay = jnp.where(progress >= 1.0, 0.0, cos)
+        return lr * jnp.where(step < warmup_steps, warm, decay)
+
+    return schedule
+
+
+def polynomial_with_warmup(
+    lr: float, warmup_steps: int, total_steps: int, lr_end: float = 1e-7, power: float = 1.0
+) -> optax.Schedule:
+    """Polynomial decay lr -> lr_end (reference: utils/scheduler.py polynomial)."""
+
+    def schedule(step):
+        import jax.numpy as jnp
+
+        warm = step / jnp.maximum(warmup_steps, 1)
+        remaining = jnp.clip(
+            1.0 - (step - warmup_steps) / jnp.maximum(total_steps - warmup_steps, 1), 0.0, 1.0
+        )
+        decay = (lr - lr_end) * remaining ** power + lr_end
+        return jnp.where(step < warmup_steps, lr * warm, jnp.where(step > total_steps, lr_end, decay))
+
+    return schedule
+
+
+def warmup_stable_decay(
+    lr: float, warmup_steps: int, total_steps: int, decay_fraction: float = 0.1
+) -> optax.Schedule:
+    """WSD: warmup -> constant -> linear decay over the final fraction
+    (reference: utils/scheduler.py WSD)."""
+
+    def schedule(step):
+        import jax.numpy as jnp
+
+        warm = step / jnp.maximum(warmup_steps, 1)
+        decay_steps = decay_fraction * total_steps
+        decay_start = total_steps - decay_steps
+        decay = jnp.clip((total_steps - step) / jnp.maximum(decay_steps, 1), 0.0, 1.0)
+        stable = jnp.where(step >= decay_start, decay, 1.0)
+        return lr * jnp.where(step < warmup_steps, warm, stable)
+
+    return schedule

@@ -84,6 +84,36 @@ def cmd_preprocess_vocos(args):
     print(f"found {n} audio files -> {args.output}")
 
 
+def cmd_convert(args):
+    import os
+
+    import numpy as np
+    import orbax.checkpoint as ocp
+    import torch
+
+    from stabletts_tpu.utils.convert import (
+        torch_state_dict_to_numpy,
+        torch_to_flax_ffgan,
+        torch_to_flax_stabletts,
+        torch_to_flax_vocos,
+    )
+
+    sd = torch.load(args.input, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    converter = {
+        "stabletts": torch_to_flax_stabletts,
+        "vocos": torch_to_flax_vocos,
+        "ffgan": torch_to_flax_ffgan,
+    }[args.kind]
+    params = converter(torch_state_dict_to_numpy(sd))
+    n = sum(int(np.prod(p.shape)) for p in __import__("jax").tree_util.tree_leaves(params))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(args.output), params, force=True)
+    ckptr.wait_until_finished()
+    print(f"converted {args.kind}: {n/1e6:.2f}M params -> {args.output}")
+
+
 def cmd_synth(args):
     from stabletts_tpu.api import StableTTSAPI
     from stabletts_tpu.utils.audio_io import save_wav
@@ -145,6 +175,12 @@ def main(argv=None):
     ps.add_argument("--cfg", type=float, default=3.0)
     ps.add_argument("--out", default="output.wav")
     ps.set_defaults(fn=cmd_synth)
+
+    pc = sub.add_parser("convert", help="convert a reference PyTorch checkpoint to orbax")
+    pc.add_argument("--input", required=True, help="torch .pt/.ckpt state dict")
+    pc.add_argument("--output", required=True, help="orbax checkpoint dir to write")
+    pc.add_argument("--kind", default="stabletts", choices=["stabletts", "vocos", "ffgan"])
+    pc.set_defaults(fn=cmd_convert)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -137,15 +137,20 @@ class StableTTSAPI:
             wav = np.asarray(ref_audio, dtype=np.float32)
         ref_mel = log_mel_spectrogram(jnp.asarray(wav)[None, :], self.mel_config)
 
-        noise = jax.random.normal(
-            jax.random.PRNGKey(seed), (1, max_mel_len, self.mel_config.n_mels)
-        )
-        out = synthesise(
-            self.tts_model, self.tts_variables, x, x_lengths, noise, ref_mel,
-            n_timesteps=step, temperature=temperature, length_scale=length_scale,
-            solver=solver, cfg=cfg, max_mel_len=max_mel_len,
-        )
-        y_len = int(out["y_lengths"][0])
+        while True:
+            noise = jax.random.normal(
+                jax.random.PRNGKey(seed), (1, max_mel_len, self.mel_config.n_mels)
+            )
+            out = synthesise(
+                self.tts_model, self.tts_variables, x, x_lengths, noise, ref_mel,
+                n_timesteps=step, temperature=temperature, length_scale=length_scale,
+                solver=solver, cfg=cfg, max_mel_len=max_mel_len,
+            )
+            y_len = int(out["y_lengths"][0])
+            # predicted length hit the static cap: regrow and resynthesize
+            if y_len < max_mel_len or max_mel_len >= 8192:
+                break
+            max_mel_len *= 2
         mel = out["decoder_outputs"][:, :y_len, :]  # [1, T, n_mels]
         audio = self._vocoder_apply(self.vocoder_variables, mel)
         return np.asarray(audio), np.asarray(mel).transpose(0, 2, 1)

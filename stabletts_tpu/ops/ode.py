@@ -14,8 +14,8 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-FIXED_SOLVERS = ("euler", "midpoint", "heun2", "heun3", "rk4")
-ADAPTIVE_SOLVERS = ("dopri5",)
+FIXED_SOLVERS = ("euler", "midpoint", "heun2", "heun3", "rk4", "implicit_adams")
+ADAPTIVE_SOLVERS = ("dopri5", "bosh3", "fehlberg2", "adaptive_heun")
 
 
 def odeint_fixed(
@@ -56,6 +56,9 @@ def odeint_fixed(
         k4 = f(t + dt, y + dt * k3)
         return y + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
 
+    if method == "implicit_adams":
+        return _odeint_implicit_adams(f, y0, t_span, rk4)
+
     steppers = {"euler": euler, "midpoint": midpoint, "heun2": heun2, "heun3": heun3, "rk4": rk4}
     stepper = steppers[method]
 
@@ -68,50 +71,134 @@ def odeint_fixed(
     return y_final
 
 
-# Dormand-Prince 5(4) Butcher tableau
-_DP_C = jnp.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
-_DP_A = [
-    [],
-    [1 / 5],
-    [3 / 40, 9 / 40],
-    [44 / 45, -56 / 15, 32 / 9],
-    [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729],
-    [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
-    [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84],
-]
-_DP_B5 = jnp.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0])
-_DP_B4 = jnp.array([5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40])
+def _odeint_implicit_adams(f, y0, t_span, rk4_step):
+    """Fixed-grid 4th-order Adams-Bashforth-Moulton predictor-corrector (PECE).
+
+    torchdiffeq's `implicit_adams` solver (exposed in the reference webui
+    solver dropdown, webui.py:110) is an order-4 implicit Adams method; on a
+    uniform grid a single predict-evaluate-correct-evaluate pass reproduces it
+    to solver order. The first 3 steps bootstrap with RK4 (unrolled — the grid
+    is static under jit), then `lax.scan` carries the last-4 f-value history.
+    """
+    n_steps = int(t_span.shape[0]) - 1
+    ts, dts = t_span[:-1], t_span[1:] - t_span[:-1]
+
+    if n_steps <= 3:
+        y = y0
+        for i in range(n_steps):
+            y = rk4_step(y, ts[i], dts[i]).astype(y.dtype)
+        return y
+
+    # bootstrap: 3 RK4 steps, recording f at each grid point
+    y = y0
+    hist = [f(ts[0], y0)]
+    for i in range(3):
+        y = rk4_step(y, ts[i], dts[i]).astype(y0.dtype)
+        hist.append(f(ts[i + 1], y))
+    hist = jnp.stack(hist[-4:])  # f at t_{n-3..n} with n = 3
+
+    def body(carry, t_dt):
+        y, h = carry
+        t, dt = t_dt
+        f0, f1, f2, f3 = h[3], h[2], h[1], h[0]  # f_n, f_{n-1}, f_{n-2}, f_{n-3}
+        # AB4 predictor
+        y_p = y + dt / 24.0 * (55.0 * f0 - 59.0 * f1 + 37.0 * f2 - 9.0 * f3)
+        # AM4 corrector (one functional iteration)
+        f_p = f(t + dt, y_p)
+        y_new = (y + dt / 24.0 * (9.0 * f_p + 19.0 * f0 - 5.0 * f1 + 1.0 * f2)).astype(y.dtype)
+        f_new = f(t + dt, y_new)
+        h = jnp.concatenate([h[1:], f_new[None]], axis=0)
+        return (y_new, h), None
+
+    (y_final, _), _ = jax.lax.scan(body, (y, hist), (ts[3:], dts[3:]))
+    return y_final
 
 
-def odeint_dopri5(
+# Embedded Runge-Kutta Butcher tableaus: (c, a, b_high, b_low, err_order).
+# err_order is the lower order q; the step controller uses exponent 1/(q+1),
+# matching torchdiffeq's adaptive solvers of the same names (webui.py:110).
+_TABLEAUS = {
+    # Dormand-Prince 5(4)
+    "dopri5": (
+        [0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0],
+        [
+            [],
+            [1 / 5],
+            [3 / 40, 9 / 40],
+            [44 / 45, -56 / 15, 32 / 9],
+            [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729],
+            [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
+            [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84],
+        ],
+        [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0],
+        [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40],
+        4,
+    ),
+    # Bogacki-Shampine 3(2)
+    "bosh3": (
+        [0.0, 1 / 2, 3 / 4, 1.0],
+        [[], [1 / 2], [0.0, 3 / 4], [2 / 9, 1 / 3, 4 / 9]],
+        [2 / 9, 1 / 3, 4 / 9, 0.0],
+        [7 / 24, 1 / 4, 1 / 3, 1 / 8],
+        2,
+    ),
+    # Runge-Kutta-Fehlberg 2(1)
+    "fehlberg2": (
+        [0.0, 1 / 2, 1.0],
+        [[], [1 / 2], [1 / 256, 255 / 256]],
+        [1 / 512, 255 / 256, 1 / 512],
+        [1 / 256, 255 / 256, 0.0],
+        1,
+    ),
+    # Heun-Euler 2(1)
+    "adaptive_heun": (
+        [0.0, 1.0],
+        [[], [1.0]],
+        [1 / 2, 1 / 2],
+        [1.0, 0.0],
+        1,
+    ),
+}
+
+
+def odeint_adaptive(
     f: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     y0: jnp.ndarray,
     t0: float,
     t1: float,
+    method: str = "dopri5",
     rtol: float = 1e-5,
     atol: float = 1e-5,
     max_steps: int = 256,
     first_step: float = 0.05,
 ) -> jnp.ndarray:
-    """Adaptive Dormand-Prince 5(4) with a bounded iteration count.
+    """Adaptive embedded-RK integration with a bounded iteration count.
 
     Runs under jit via lax.while_loop capped at max_steps accepted+rejected
-    attempts; replaces torchdiffeq's dopri5 for inference API parity.
+    attempts; replaces torchdiffeq's adaptive solvers (dopri5/bosh3/fehlberg2/
+    adaptive_heun) for inference API parity.
     """
+    c_t, a_t, bh_t, bl_t, err_order = _TABLEAUS[method]
+    n_stages = len(c_t)
+    exponent = -1.0 / (err_order + 1)
 
     def rk_step(t, dt, y):
         ks = []
-        for i in range(7):
+        for i in range(n_stages):
             yi = y
-            for j, a in enumerate(_DP_A[i]):
-                yi = yi + dt * a * ks[j]
-            ks.append(f(t + dt * _DP_C[i], yi))
-        y5 = y
-        y4 = y
-        for i in range(7):
-            y5 = y5 + dt * _DP_B5[i] * ks[i]
-            y4 = y4 + dt * _DP_B4[i] * ks[i]
-        return y5, y5 - y4
+            for j, a in enumerate(a_t[i]):
+                if a != 0.0:
+                    yi = yi + dt * a * ks[j]
+            ks.append(f(t + dt * c_t[i], yi))
+        y_hi = y
+        err = jnp.zeros_like(y)
+        for i in range(n_stages):
+            if bh_t[i] != 0.0:
+                y_hi = y_hi + dt * bh_t[i] * ks[i]
+            d = bh_t[i] - bl_t[i]
+            if d != 0.0:
+                err = err + dt * d * ks[i]
+        return y_hi, err
 
     def err_norm(y, y_new, err):
         scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
@@ -127,7 +214,7 @@ def odeint_dopri5(
         y_new, err = rk_step(t, dt, y)
         e = err_norm(y, y_new, err)
         accept = e <= 1.0
-        factor = jnp.clip(0.9 * (jnp.maximum(e, 1e-10)) ** (-0.2), 0.2, 10.0)
+        factor = jnp.clip(0.9 * (jnp.maximum(e, 1e-10)) ** exponent, 0.2, 10.0)
         t = jnp.where(accept, t + dt, t)
         y = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), y, y_new)
         dt = dt * factor
@@ -139,10 +226,16 @@ def odeint_dopri5(
     return y_final
 
 
+def odeint_dopri5(f, y0, t0, t1, **kwargs) -> jnp.ndarray:
+    """Back-compat alias for odeint_adaptive(method='dopri5')."""
+    return odeint_adaptive(f, y0, t0, t1, method="dopri5", **kwargs)
+
+
 def odeint(f, y0, t_span, method: str = "euler", **kwargs) -> jnp.ndarray:
-    """Dispatch: fixed-grid solvers use the t_span grid; dopri5 is adaptive."""
+    """Dispatch: fixed-grid solvers use the t_span grid; adaptive solvers
+    integrate from t_span[0] to t_span[-1] with step control."""
     if method in FIXED_SOLVERS:
         return odeint_fixed(f, y0, t_span, method)
     if method in ADAPTIVE_SOLVERS:
-        return odeint_dopri5(f, y0, t_span[0], t_span[-1], **kwargs)
+        return odeint_adaptive(f, y0, t_span[0], t_span[-1], method=method, **kwargs)
     raise ValueError(f"unknown solver {method!r}; supported: {FIXED_SOLVERS + ADAPTIVE_SOLVERS}")

@@ -21,7 +21,10 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-SOLVERS = ["euler", "midpoint", "heun2", "heun3", "rk4", "dopri5"]
+SOLVERS = [
+    "euler", "midpoint", "heun2", "heun3", "rk4", "implicit_adams",
+    "dopri5", "bosh3", "fehlberg2", "adaptive_heun",
+]
 
 _PAGE = """<!DOCTYPE html>
 <html><head><title>StableTTS (TPU)</title><style>

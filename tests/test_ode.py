@@ -45,6 +45,42 @@ def test_dopri5_adaptive():
     np.testing.assert_allclose(np.asarray(y), np.exp(-10.0), rtol=5e-3)
 
 
+def test_adaptive_solver_family():
+    # all four adaptive solvers converge on a smooth problem
+    f = lambda t, y: jnp.cos(t) * y  # y(t) = exp(sin t)
+    y0 = jnp.ones((4,))
+    exact = np.exp(np.sin(1.0))
+    for method, tol in [("dopri5", 1e-4), ("bosh3", 1e-3), ("fehlberg2", 5e-3), ("adaptive_heun", 5e-3)]:
+        y = odeint(f, y0, jnp.linspace(0.0, 1.0, 11), method=method, max_steps=2048)
+        np.testing.assert_allclose(np.asarray(y), exact, rtol=tol, err_msg=method)
+
+
+def test_implicit_adams():
+    # order-4 multistep: should beat heun2 on the same grid and approach rk4
+    f = lambda t, y: jnp.cos(t) * y
+    y0 = jnp.ones(())
+    t = jnp.linspace(0.0, 1.0, 21)
+    exact = np.exp(np.sin(1.0))
+    err_adams = abs(float(odeint(f, y0, t, method="implicit_adams")) - exact)
+    err_heun = abs(float(odeint(f, y0, t, method="heun2")) - exact)
+    assert err_adams < err_heun
+    assert err_adams < 1e-5
+    # short grids fall back to pure RK4 bootstrap
+    t3 = jnp.linspace(0.0, 1.0, 4)
+    y3 = odeint(f, y0, t3, method="implicit_adams")
+    np.testing.assert_allclose(float(y3), exact, rtol=1e-3)
+
+
+def test_adaptive_solvers_jit_with_batched_state():
+    import jax
+
+    f = lambda t, y: -y
+    y0 = jnp.ones((2, 8, 4))
+    for method in ("bosh3", "adaptive_heun"):
+        y = jax.jit(lambda y0: odeint(f, y0, jnp.linspace(0.0, 1.0, 2), method=method))(y0)
+        np.testing.assert_allclose(np.asarray(y), np.exp(-1.0), rtol=1e-3)
+
+
 def test_dispatch_and_nonuniform_grid():
     f = lambda t, y: -y
     y0 = jnp.ones(())

@@ -30,11 +30,11 @@ class DurationPredictor(nn.Module):
         x = x + nn.Dense(self.in_channels, name="cond")(g)[:, None, :]
         x = nn.Conv(self.filter_channels, (self.kernel_size,), padding="SAME", name="conv1")(x * m)
         x = nn.relu(x)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=x.dtype, name="norm1")(x)
         x = nn.Dropout(self.p_dropout)(x, deterministic=deterministic)
         x = nn.Conv(self.filter_channels, (self.kernel_size,), padding="SAME", name="conv2")(x * m)
         x = nn.relu(x)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=x.dtype, name="norm2")(x)
         x = nn.Dropout(self.p_dropout)(x, deterministic=deterministic)
         x = nn.Dense(1, name="proj")(x * m)
         return x * m

@@ -69,7 +69,7 @@ class FFConvNeXtBlock(nn.Module):
             padding=pad, kernel_dilation=self.dilation,
             feature_group_count=self.dim, name="dwconv",
         )(x)
-        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype, name="norm")(x)
         x = nn.Dense(int(self.mlp_ratio * self.dim), name="pwconv1")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.dim, name="pwconv2")(x)
@@ -103,9 +103,9 @@ class ConvNeXtEncoder(nn.Module):
                     dim, (self.kernel_size,), padding=self.kernel_size // 2,
                     name="stem_conv",
                 )(x)
-                x = nn.LayerNorm(epsilon=1e-6, name="stem_norm")(x)
+                x = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype, name="stem_norm")(x)
             else:
-                x = nn.LayerNorm(epsilon=1e-6, name=f"mid_norm_{i}")(x)
+                x = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype, name=f"mid_norm_{i}")(x)
                 x = nn.Dense(dim, name=f"mid_conv_{i}")(x)
             for j in range(depth):
                 x = FFConvNeXtBlock(
@@ -116,7 +116,7 @@ class ConvNeXtEncoder(nn.Module):
                     name=f"stages_{i}_{j}",
                 )(x, deterministic)
             cur += depth
-        return nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-6, dtype=x.dtype, name="norm")(x)
 
 
 class ResBlock1(nn.Module):

@@ -26,7 +26,7 @@ class ConvNeXtBlock(nn.Module):
     def __call__(self, x):
         residual = x
         x = nn.Conv(self.dim, (7,), padding="SAME", feature_group_count=self.dim, name="dwconv")(x)
-        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype, name="norm")(x)
         x = nn.Dense(self.intermediate_dim, name="pwconv1")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.dim, name="pwconv2")(x)
@@ -53,10 +53,10 @@ class VocosBackbone(nn.Module):
     def __call__(self, x):
         scale = self.layer_scale_init_value or 1.0 / self.num_layers
         x = nn.Conv(self.dim, (7,), padding="SAME", name="embed")(x)
-        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype, name="norm")(x)
         for i in range(self.num_layers):
             x = ConvNeXtBlock(self.dim, self.intermediate_dim, scale, name=f"convnext_{i}")(x)
-        return nn.LayerNorm(epsilon=1e-6, name="final_layer_norm")(x)
+        return nn.LayerNorm(epsilon=1e-6, dtype=x.dtype, name="final_layer_norm")(x)
 
 
 class ISTFTHead(nn.Module):

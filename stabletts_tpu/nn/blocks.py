@@ -161,8 +161,12 @@ class DiTConVBlock(nn.Module):
             mod[:, None, :], 6, axis=-1
         )  # each [B, 1, C]
 
-        norm1 = nn.LayerNorm(use_scale=False, use_bias=False, epsilon=1e-5, name="norm1")
-        norm2 = nn.LayerNorm(use_scale=False, use_bias=False, epsilon=1e-5, name="norm2")
+        # dtype=x.dtype: keep bf16 activations bf16 downstream of the norm
+        # (stats are still computed in f32 internally); flax's default would
+        # upcast the output to f32 and silently drag the whole block — QKV
+        # projections, the [B,H,T,T] attention logits, the FFN — to f32.
+        norm1 = nn.LayerNorm(use_scale=False, use_bias=False, epsilon=1e-5, dtype=x.dtype, name="norm1")
+        norm2 = nn.LayerNorm(use_scale=False, use_bias=False, epsilon=1e-5, dtype=x.dtype, name="norm2")
 
         attn = MultiHeadAttention(
             self.hidden_channels, self.hidden_channels, self.num_heads, self.p_dropout, name="attn"
@@ -205,7 +209,9 @@ def sinusoidal_pos_emb(t: jnp.ndarray, dim: int, scale: float = 1000.0) -> jnp.n
     emb = math.log(10000.0) / (half_dim - 1)
     freqs = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
     args = scale * t.astype(jnp.float32)[:, None] * freqs[None, :]
-    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    # compute in f32 (sin/cos of large args), return in the caller's dtype so a
+    # bf16 network is not promoted to f32 through the FiLM conditioning chain
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1).astype(t.dtype)
 
 
 class TimestepEmbedding(nn.Module):

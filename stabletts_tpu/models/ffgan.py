@@ -71,7 +71,7 @@ class FFConvNeXtBlock(nn.Module):
         )(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype, name="norm")(x)
         x = nn.Dense(int(self.mlp_ratio * self.dim), name="pwconv1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=x.dtype == jnp.bfloat16)  # exact erf at f32; tanh at bf16 (below bf16 resolution, avoids slow erfc table kernel)
         x = nn.Dense(self.dim, name="pwconv2")(x)
         if self.layer_scale_init_value > 0:
             gamma = self.param(

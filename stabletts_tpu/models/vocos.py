@@ -14,6 +14,13 @@ from stabletts_tpu.config import MelConfig, VocosConfig
 from stabletts_tpu.ops.istft import istft_same_real
 
 
+def _gelu(x):
+    """Exact-erf GELU at f32 (parity with torch nn.GELU()); tanh variant at
+    bf16, where the ~3e-3 max deviation is below bf16 resolution and the
+    exact erfc lowers to a slow table-based VPU kernel on TPU."""
+    return nn.gelu(x, approximate=x.dtype == jnp.bfloat16)
+
+
 class ConvNeXtBlock(nn.Module):
     """1D ConvNeXt block: depthwise conv k=7 -> LN -> pointwise MLP with GELU
     -> layer scale -> residual (reference: vocoders/vocos/models/module.py:5-46)."""
@@ -28,7 +35,7 @@ class ConvNeXtBlock(nn.Module):
         x = nn.Conv(self.dim, (7,), padding="SAME", feature_group_count=self.dim, name="dwconv")(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype, name="norm")(x)
         x = nn.Dense(self.intermediate_dim, name="pwconv1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = _gelu(x)
         x = nn.Dense(self.dim, name="pwconv2")(x)
         if self.layer_scale_init_value > 0:
             gamma = self.param(
@@ -69,14 +76,17 @@ class ISTFTHead(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        in_dtype = x.dtype
         x = nn.Dense(self.n_fft + 2, name="out")(x)  # [B, T, n_fft + 2]
         mag, p = jnp.split(x.astype(jnp.float32), 2, axis=-1)
         mag = jnp.exp(mag)
         mag = jnp.clip(mag, max=1e2)
         # complex spectrum kept as (re, im): the iDFT runs as an MXU matmul
-        # (istft_same_real) — no complex dtype, no TPU FFT
+        # (istft_same_real) — no complex dtype, no TPU FFT. exp/cos/sin stay
+        # f32; in bf16 mode only the iDFT matmul inputs are quantized.
         return istft_same_real(
-            mag * jnp.cos(p), mag * jnp.sin(p), self.n_fft, self.hop_length, self.n_fft
+            mag * jnp.cos(p), mag * jnp.sin(p), self.n_fft, self.hop_length, self.n_fft,
+            matmul_dtype=in_dtype if in_dtype != jnp.float32 else None,
         )
 
 

@@ -74,13 +74,19 @@ def idft_matrix_windowed(n_fft: int, win_length: int) -> jnp.ndarray:
 
 
 def istft_same_real(
-    re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop_length: int, win_length: int
+    re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop_length: int, win_length: int,
+    matmul_dtype=None,
 ) -> jnp.ndarray:
     """Real/imag spectrogram [B, T, n_freqs] each -> waveform [B, T * hop].
 
     Matmul-iDFT formulation of `istft_same` (no complex dtype, no FFT):
-    per-frame inverse transform + window as one f32-precision matmul, then
-    overlap-add and envelope normalization.
+    per-frame inverse transform + window as one MXU matmul, then overlap-add
+    and envelope normalization.
+
+    matmul_dtype=bfloat16 quantizes the matmul INPUTS only; accumulation stays
+    f32. Quantization noise averages over the ~n_fft summed terms per output
+    sample (≈ -85 dB at n_fft=2048) — far below GAN vocoder modeling error —
+    while the f32 matmul costs ~4x more MXU time than bf16.
     """
     window = hann_window(win_length)
     pad = (win_length - hop_length) // 2
@@ -88,9 +94,15 @@ def istft_same_real(
 
     w_mat = idft_matrix_windowed(n_fft, win_length)
     spec_cat = jnp.concatenate([re, im], axis=-1).astype(jnp.float32)
-    frames = jax.lax.dot_general(
-        spec_cat, w_mat, (((2,), (0,)), ((), ())), precision="float32"
-    )  # [B, T, n_fft], already windowed
+    if matmul_dtype is not None and matmul_dtype != jnp.float32:
+        frames = jax.lax.dot_general(
+            spec_cat.astype(matmul_dtype), w_mat.astype(matmul_dtype),
+            (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+    else:
+        frames = jax.lax.dot_general(
+            spec_cat, w_mat, (((2,), (0,)), ((), ())), precision="float32"
+        )  # [B, T, n_fft], already windowed
     y = overlap_add(frames, hop_length)
 
     env = window_envelope(window, n_frames, hop_length)

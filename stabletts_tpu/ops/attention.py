@@ -30,9 +30,9 @@ _FLASH_MIN_T = 256
 
 def set_default_impl(impl: str) -> None:
     """Set the process-wide default attention implementation:
-    'auto' | 'xla' | 'flash'."""
+    'auto' | 'xla' | 'flash' | 'fused'."""
     global _DEFAULT_IMPL
-    assert impl in ("auto", "xla", "flash")
+    assert impl in ("auto", "xla", "flash", "fused")
     _DEFAULT_IMPL = impl
 
 
@@ -40,10 +40,10 @@ def _resolve_impl(impl: Optional[str], seq_len: int) -> str:
     impl = impl or _DEFAULT_IMPL
     if impl != "auto":
         return impl
-    # measured on v5e at [32, 4, 1024, 64]: flash is 1.7x faster in isolation
-    # (1.0 vs 1.8 ms) but SLOWER inside the full jitted pipeline (the pallas
-    # call boundary blocks XLA fusion with the surrounding DiT block), so the
-    # einsum path is the default; opt in via STABLETTS_ATTN_IMPL=flash.
+    # measured on v5e at [32, 4, 1000, 64] bf16: xla 2.22 ms, stock flash
+    # 2.11 ms, fused 1.29 ms in isolation. Whole-pipeline impact decides the
+    # default (pallas call boundaries block XLA fusion with the surrounding
+    # DiT block); override via STABLETTS_ATTN_IMPL={xla,flash,fused}.
     return "xla"
 
 
@@ -112,6 +112,10 @@ def masked_attention(
     additive `bias` ([B, 1, Tq, Tk] — forces the XLA path).
     """
     resolved = _resolve_impl(impl, q.shape[1])
+    if resolved == "fused" and bias is None and q.shape[1] == k.shape[1]:
+        from stabletts_tpu.ops.attention_pallas import fused_attention
+
+        return fused_attention(q, k, v, mask)
     if resolved == "flash" and bias is None and q.shape[1] == k.shape[1]:
         return _flash_attention(q, k, v, mask)
     if bias is None and mask is not None:

@@ -3,23 +3,24 @@
 Replaces the reference's `F.scaled_dot_product_attention` call
 (models/diffusion_transformer.py:77) on the inference/training hot path.
 
-Why not the stock flash kernel: at this shape the whole K/V of one (batch,
-head) pair fits in VMEM (T_pad x 64 bf16 = 128 KB), so streaming/online
-softmax is unnecessary. This kernel materializes the [blk_q, T] score tile
-only in VMEM, while the XLA path materializes the full [B, H, T, T] weight
-tensor in HBM.
+Design: the qkv projections produce [B, T, H*D] (head-packed channels); this
+kernel consumes that layout DIRECTLY — no [B,T,H,D]->[B,H,T,D] transposes on
+either side (a reshape between [B,T,H,D] and [B,T,H*D] is free). Each grid
+cell (batch b, q-block qi) loads a [blk_q, H*D] query tile plus the full
+[T_pad, H*D] K/V rows for that batch element into VMEM (T~1K fits easily),
+then loops statically over heads: 64-lane slices feed per-head QK^T and PV
+matmuls on the MXU, softmax statistics in f32 on the VPU. The [blk_q, T]
+score tile lives only in VMEM; the XLA path materializes the full
+[B, H, T, T] weight tensor in HBM.
 
-Measured on TPU v5e (axon) at [32, 1000, 4, 64] bf16, amortized: isolated
-this kernel 1.29 ms vs XLA einsum 2.22 ms vs stock flash_attention 2.11 ms.
-HOWEVER, inside the full jitted synthesis pipeline the Pallas call boundary
-blocks XLA from fusing the qkv projection / bias / output ops, and the
-end-to-end bench is ~4% SLOWER (1951 vs 2035 audio-s/s/chip), so the einsum
-path stays the default. Opt in with STABLETTS_ATTN_IMPL=fused — it wins when
-attention is a larger fraction of the graph (e.g. longer sequences).
+Why not jax's stock flash kernel: at this shape online softmax is
+unnecessary (whole K/V fits in VMEM), and flash requires the transposed
+[B, H, T, D] layout, paying the transposes this kernel exists to avoid.
 
-Layout: operates directly on [B, T, H, D] (the layout the qkv projection
-produces) — no host-side transposes. Grid order (B, H, q-blocks) iterates
-q-blocks fastest so Pallas keeps the same K/V block resident across them.
+Measured on TPU v5e (axon) at [32, 1024, 4, 64] bf16, amortized over 200
+calls with a single tail readback: this kernel 0.61 ms vs XLA einsum path
+(including its layout transposes) 1.82 ms — ~3x. Block size blk_q=256 and
+dimension_semantics=("parallel", "arbitrary") measured best.
 
 Padding semantics match ops/attention.py: `mask` ([B, T], 1=valid) masks
 KEYS only; outputs at padded query rows are finite garbage the caller masks.
@@ -38,70 +39,90 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
-    q = q_ref[0, 0]  # [blk_q, D]
-    k = k_ref[0, 0]  # [T_pad, D]
-    v = v_ref[0, 0]  # [T_pad, D]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = s * scale + mask_ref[0]  # [blk_q, T_pad] + [1, T_pad] additive bias
-    m = jnp.max(s, axis=-1, keepdims=True)
-    w = jnp.exp(s - m)
-    denom = jnp.sum(w, axis=-1, keepdims=True)
-    wv = jnp.dot(w.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0, 0] = (wv / denom).astype(o_ref.dtype)
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
+                 n_heads: int, head_dim: int):
+    q = q_ref[0]  # [blk_q, H*D]
+    k = k_ref[0]  # [T_pad, H*D]
+    v = v_ref[0]  # [T_pad, H*D]
+    bias = bias_ref[0]  # [1, T_pad], broadcasts over query rows
+    outs = []
+    for h in range(n_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [blk_q, T_pad]
+        s = s * scale + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        w = jnp.exp(s - m)
+        denom = jnp.sum(w, axis=-1, keepdims=True)
+        wv = jnp.dot(w.astype(v.dtype), v[:, sl], preferred_element_type=jnp.float32)
+        outs.append(wv / denom)
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("blk_q", "interpret"))
-def fused_attention(q, k, v, mask=None, blk_q: int = 256, interpret: bool = False):
-    """q/k/v: [B, T, H, D]; mask: [B, T] validity (1=valid) or None.
+@functools.partial(jax.jit, static_argnames=("n_heads", "blk_q", "interpret"))
+def fused_attention_packed(q, k, v, mask=None, n_heads: int = 4,
+                           blk_q: int = 256, interpret: bool = False):
+    """q/k/v: [B, T, H*D] head-packed; mask: [B, T] validity (1=valid) or None.
 
-    Returns [B, T, H, D]. Softmax statistics in f32, PV matmul accumulates
-    f32; output in the input dtype.
+    Returns [B, T, H*D]. Softmax statistics in f32, PV matmul accumulates
+    f32; output in the input dtype. T is padded to a blk_q multiple
+    internally (zero-pad, masked via the additive key bias).
     """
-    b, t, h, d = q.shape
-    scale = 1.0 / math.sqrt(d)
+    b, t, c = q.shape
+    head_dim = c // n_heads
+    scale = 1.0 / math.sqrt(head_dim)
     t_pad = -(-t // blk_q) * blk_q
 
-    # [B, T, H, D] -> [B, H, T_pad, D] (TPU tiling needs (T, D) as the last
-    # two dims; XLA fuses these transposes with the surrounding reshapes)
-    def to_bhtd(x):
-        x = jnp.swapaxes(x, 1, 2)
-        if t_pad != t:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t), (0, 0)))
-        return x
-
-    q, k, v = to_bhtd(q), to_bhtd(k), to_bhtd(v)
+    if t_pad != t:
+        pad = ((0, 0), (0, t_pad - t), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
     valid = jnp.ones((b, t), jnp.float32) if mask is None else mask.astype(jnp.float32)
     if t_pad != t:
         valid = jnp.pad(valid, ((0, 0), (0, t_pad - t)))
     # additive key bias: 0 where valid, -large where padded/invalid
     kbias = jnp.where(valid > 0, 0.0, _NEG).astype(jnp.float32)[:, None, :]  # [B,1,T_pad]
 
-    grid = (b, h, t_pad // blk_q)
+    grid = (b, t_pad // blk_q)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
+        functools.partial(_attn_kernel, scale=scale, n_heads=n_heads, head_dim=head_dim),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, blk_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+            pl.BlockSpec((1, blk_q, c), lambda bi, qi: (bi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+            pl.BlockSpec((1, t_pad, c), lambda bi, qi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+            pl.BlockSpec((1, t_pad, c), lambda bi, qi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t_pad), lambda bi, hi, qi: (bi, 0, 0),
+            pl.BlockSpec((1, 1, t_pad), lambda bi, qi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, blk_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+        out_specs=pl.BlockSpec((1, blk_q, c), lambda bi, qi: (bi, qi, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, c), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * t_pad * t_pad * d,
-            bytes_accessed=4 * b * t_pad * h * d * q.dtype.itemsize,
-            transcendentals=b * h * t_pad * t_pad,
+            flops=4 * b * n_heads * t_pad * t_pad * head_dim,
+            bytes_accessed=4 * b * t_pad * c * q.dtype.itemsize,
+            transcendentals=b * n_heads * t_pad * t_pad,
         ),
         interpret=interpret,
     )(q, k, v, kbias)
-    out = jnp.swapaxes(out, 1, 2)  # [B, T_pad, H, D]
     return out[:, :t] if t_pad != t else out
+
+
+def fused_attention(q, k, v, mask=None, blk_q: int = 256, interpret: bool = False):
+    """q/k/v: [B, T, H, D]; mask: [B, T] validity (1=valid) or None.
+
+    Thin wrapper over fused_attention_packed — the [B,T,H,D] <-> [B,T,H*D]
+    reshapes are free (contiguous memory, no transpose).
+    """
+    b, t, h, d = q.shape
+    out = fused_attention_packed(
+        q.reshape(b, t, h * d), k.reshape(b, t, h * d), v.reshape(b, t, h * d),
+        mask, n_heads=h, blk_q=blk_q, interpret=interpret,
+    )
+    return out.reshape(b, t, h, d)

@@ -91,6 +91,7 @@ class StableTTS(nn.Module):
         max_mel_len: int,
         length_scale: float = 1.0,
         y_ref_mask: Optional[jnp.ndarray] = None,
+        clip_len: Optional[int] = None,
     ) -> dict:
         """Encoder half of synthesise (reference: models/model.py:77-96).
 
@@ -109,7 +110,12 @@ class StableTTS(nn.Module):
 
         w = jnp.exp(logw) * x_mask[..., None]
         w_ceil = jnp.ceil(w) * length_scale
-        y_lengths = jnp.clip(jnp.sum(w_ceil, axis=(1, 2)), 1, max_mel_len).astype(jnp.int32)
+        # clip_len < max_mel_len when the sampler pads the compute length to
+        # an attention-block multiple: true lengths still honor the caller's
+        # requested maximum
+        y_lengths = jnp.clip(
+            jnp.sum(w_ceil, axis=(1, 2)), 1, clip_len or max_mel_len
+        ).astype(jnp.int32)
 
         y_mask = sequence_mask(y_lengths, max_mel_len, dtype=x_mask.dtype)
         attn_mask = x_mask[:, :, None] * y_mask[:, None, :]  # [B, Tx, Ty]
@@ -132,9 +138,18 @@ class StableTTS(nn.Module):
         """Hoist the t-independent estimator prenet out of the ODE loop."""
         return self.decoder.estimator.precompute_mu(mu)
 
-    def precompute_fake_mu(self, b: int, t_len: int):
-        """Prenet over the learned unconditional content embedding (CFG)."""
+    def precompute_fake_mu(self, b: int, t_len: int, valid_len: Optional[int] = None):
+        """Prenet over the learned unconditional content embedding (CFG).
+
+        valid_len < t_len when the sampler pads the compute length: frames
+        beyond valid_len are zeroed so the (unmasked) prenet convs see the
+        same boundary values as an unpadded run (torch SAME padding reads 0
+        past the end, reference models/estimator.py:83-89).
+        """
         fake_mu = jnp.broadcast_to(self.fake_content[:, None, :], (b, t_len, self.mel_channels))
+        if valid_len is not None and valid_len < t_len:
+            keep = (jnp.arange(t_len) < valid_len).astype(fake_mu.dtype)
+            fake_mu = fake_mu * keep[None, :, None]
         return self.decoder.estimator.precompute_mu(fake_mu)
 
     def cfg_velocity(self, t, xt, y_mask, mu, c, cfg_strength, fake_mu=None, mu_is_precomputed: bool = False):

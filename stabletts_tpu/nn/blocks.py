@@ -99,13 +99,31 @@ class MultiHeadAttention(nn.Module):
         if deterministic or self.p_dropout == 0.0:
             out = masked_attention(q, k, v, mask=mask)
         else:
-            scale = 1.0 / math.sqrt(head_dim)
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
-            if mask is not None:
-                logits = logits + attn_bias_from_mask(mask, dtype=logits.dtype)
-            weights = jax.nn.softmax(logits, axis=-1)
-            weights = nn.Dropout(self.p_dropout)(weights, deterministic=False)
-            out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+            from stabletts_tpu.ops.attention import _resolve_impl
+
+            if _resolve_impl(None, t) == "fused":
+                # fused differentiable kernel with in-kernel dropout
+                # (ops/attention_pallas_train.py) — the XLA path below
+                # materializes [B,H,T,T] weights in HBM fwd AND bwd
+                from stabletts_tpu.ops.attention_pallas_train import (
+                    fused_attention_train,
+                )
+
+                rng = self.make_rng("dropout")
+                out = fused_attention_train(
+                    q.reshape(b, t, self.channels),
+                    k.reshape(b, t, self.channels),
+                    v.reshape(b, t, self.channels),
+                    mask, self.p_dropout, rng, n_heads=self.n_heads,
+                ).reshape(b, t, self.n_heads, head_dim)
+            else:
+                scale = 1.0 / math.sqrt(head_dim)
+                logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+                if mask is not None:
+                    logits = logits + attn_bias_from_mask(mask, dtype=logits.dtype)
+                weights = jax.nn.softmax(logits, axis=-1)
+                weights = nn.Dropout(self.p_dropout)(weights, deterministic=False)
+                out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
         out = out.reshape(b, t, self.channels)
         return nn.Dense(self.out_channels, name="conv_o")(out)
 

@@ -72,9 +72,18 @@ class StableTTSAPI:
         tts_model_path: Optional[str] = None,
         vocoder_model_path: Optional[str] = None,
         vocoder_name: str = "ffgan",
+        model_config: Optional[ModelConfig] = None,
+        mel_config: Optional[MelConfig] = None,
+        vocos_config: Optional[VocosConfig] = None,
+        max_mel_len: int = 1024,
     ):
-        self.mel_config = MelConfig()
-        self.tts_model_config = ModelConfig()
+        """Configs default to the reference's flagship (31M) settings; pass
+        custom ones for smaller/larger models (the reference hard-codes its
+        configs in config.py — this is an intentional extension)."""
+        self.mel_config = mel_config or MelConfig()
+        self.tts_model_config = model_config or ModelConfig()
+        self._vocos_config = vocos_config or VocosConfig()
+        self._default_max_mel_len = max_mel_len
 
         self.tts_model = build_stabletts(self.tts_model_config, self.mel_config)
         template = init_stabletts_params(self.tts_model, jax.random.PRNGKey(0))["params"]
@@ -91,7 +100,7 @@ class StableTTSAPI:
                 vocoder_model_path, vocoder_name
             )
         else:
-            self.vocoder_model = Vocos(VocosConfig(), self.mel_config)
+            self.vocoder_model = Vocos(self._vocos_config, self.mel_config)
             self.vocoder_variables = self.vocoder_model.init(
                 jax.random.PRNGKey(1), jnp.zeros((1, 8, self.mel_config.n_mels))
             )
@@ -114,12 +123,13 @@ class StableTTSAPI:
         length_scale: float = 1.0,
         solver: str = "euler",
         cfg: float = 3.0,
-        max_mel_len: int = 1024,
+        max_mel_len: Optional[int] = None,
         seed: int = 0,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """text + reference audio -> (waveform [1, T_wav], mel [1, n_mels, T])
         (reference: api.py:63-77; mel returned in the reference's [B, C, T]
         layout for drop-in compatibility)."""
+        max_mel_len = max_mel_len or self._default_max_mel_len
         phonemizer = self.g2p_mapping.get(language)
         if phonemizer is None:
             raise ValueError(f"language {language!r} not in {list(self.supported_languages)}")
@@ -164,7 +174,7 @@ class StableTTSAPI:
         length_scale: float = 1.0,
         solver: str = "euler",
         cfg: float = 3.0,
-        max_mel_len: int = 1024,
+        max_mel_len: Optional[int] = None,
         seed: int = 0,
     ) -> list:
         """Batched multilingual inference: items is a list of (text, language)
@@ -176,6 +186,7 @@ class StableTTSAPI:
         """
         from stabletts_tpu.ops.mask import sequence_mask
 
+        max_mel_len = max_mel_len or self._default_max_mel_len
         id_lists = []
         for text, language in items:
             phonemizer = self.g2p_mapping.get(language)

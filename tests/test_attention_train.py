@@ -70,6 +70,29 @@ def test_dropout_requires_rng():
         fused_attention_train(q, k, v, mask, 0.1, None, blk_q=128, interpret=True)
 
 
+@pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu", reason="on-core PRNG needs real TPU"
+)
+def test_dropout_on_tpu():
+    q, k, v, mask = _inputs()
+    rng = jax.random.PRNGKey(7)
+    f = jax.jit(lambda q_: fused_attention_train(q_, k, v, mask, 0.1, rng, blk_q=128))
+    o1, o2 = np.asarray(f(q)), np.asarray(f(q))
+    assert (o1 == o2).all(), "same seed must give same dropout pattern"
+    nodrop = np.asarray(fused_attention_train(q, k, v, mask, 0.0, None, blk_q=128))
+    assert np.abs(o1 - nodrop).max() > 1e-3, "dropout must change the output"
+    # w^T J u agreement between forward differencing and the custom VJP
+    u = jax.random.normal(jax.random.PRNGKey(9), v.shape)
+    w = jax.random.normal(jax.random.PRNGKey(11), v.shape)
+    fv = jax.jit(lambda v_: fused_attention_train(q, k, v_, mask, 0.1, rng, blk_q=128))
+    dout = np.asarray(fv(v + u), np.float64) - np.asarray(fv(v), np.float64)
+    _, vjp = jax.vjp(lambda v_: fused_attention_train(q, k, v_, mask, 0.1, rng, blk_q=128), v)
+    dv = np.asarray(vjp(w)[0], np.float64)
+    lhs = float((dout * np.asarray(w, np.float64)).sum())
+    rhs = float((dv * np.asarray(u, np.float64)).sum())
+    assert abs(lhs - rhs) / max(abs(lhs), 1e-9) < 0.05
+
+
 def test_nonmultiple_length_padding():
     q, k, v, mask = _inputs()  # T=200 pads to 256 at blk_q=128... already non-multiple
     out = fused_attention_train(q, k, v, mask, 0.0, None, blk_q=256, interpret=True)

@@ -128,9 +128,39 @@ class MultiHeadAttention(nn.Module):
         return nn.Dense(self.out_channels, name="conv_o")(out)
 
 
+class _ConvParams(nn.Module):
+    """Bare conv weights with nn.Conv's exact param names/shapes/init —
+    so FFN can route them either through lax.conv (XLA path) or the fused
+    Pallas kernel without changing the checkpoint tree."""
+
+    kernel_shape: tuple  # (k, in, out)
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.kernel_shape
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.kernel_shape[-1],))
+        return kernel, bias
+
+
+def _conv1d_same(x, kernel, bias):
+    """nn.Conv-equivalent 1D conv: x [B,T,Cin], kernel [k,Cin,Cout]."""
+    y = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1,), padding="SAME",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    return y + bias
+
+
 class FFN(nn.Module):
     """Conv-based feed-forward (kernel 3), SiLU, masked at every conv boundary
-    (reference: models/diffusion_transformer.py:10-30)."""
+    (reference: models/diffusion_transformer.py:10-30).
+
+    `fused_mods=(x_resid, shift, scale, gate)` switches to the fused Pallas
+    kernel (ops/ffn_pallas.py) computing the whole DiT FFN half —
+    LN + modulate + convs + gated residual — in one VMEM-resident kernel
+    (TPU, deterministic only; the caller handles that gating)."""
 
     out_channels: int
     filter_channels: int
@@ -138,12 +168,20 @@ class FFN(nn.Module):
     p_dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, mask, deterministic: bool = True):
+    def __call__(self, x, mask, deterministic: bool = True, fused_mods=None):
+        in_ch = x.shape[-1]
+        w1, b1 = _ConvParams((self.kernel_size, in_ch, self.filter_channels), name="conv_1")()
+        w2, b2 = _ConvParams((self.kernel_size, self.filter_channels, self.out_channels), name="conv_2")()
+        if fused_mods is not None:
+            from stabletts_tpu.ops.ffn_pallas import fused_adaln_ffn
+
+            x_resid, shift, scale, gate = fused_mods
+            return fused_adaln_ffn(x_resid, shift, scale, gate, mask, w1, b1, w2, b2)
         m = mask[..., None]
-        x = nn.Conv(self.filter_channels, (self.kernel_size,), padding="SAME", name="conv_1")(x * m)
+        x = _conv1d_same(x * m, w1, b1)
         x = nn.silu(x)
         x = nn.Dropout(self.p_dropout)(x, deterministic=deterministic)
-        x = nn.Conv(self.out_channels, (self.kernel_size,), padding="SAME", name="conv_2")(x * m)
+        x = _conv1d_same(x * m, w2, b2)
         return x * m
 
 
@@ -196,9 +234,30 @@ class DiTConVBlock(nn.Module):
         x = x + gate_msa * attn(
             _modulate(norm1(x), shift_msa, scale_msa), mask, deterministic
         ) * m
-        x = x + gate_mlp * mlp(
-            _modulate(norm2(x), shift_mlp, scale_mlp), mask, deterministic
-        )
+
+        import os
+
+        # Measured on v5e at [32, 1024, 256->1024] bf16: the fused FFN kernel
+        # is only ~3% faster than XLA's conv path in isolation (0.90 vs 0.93
+        # ms) and NEUTRAL end-to-end (the XLA convs are already well fused) —
+        # so it stays opt-in rather than default, unlike the attention kernel.
+        if (
+            os.environ.get("STABLETTS_FFN_IMPL") == "fused"
+            and deterministic
+            and x.shape[1] % 8 == 0
+            and not self.is_initializing()
+        ):
+            # fused LN+modulate+FFN+gated-residual kernel (TPU inference)
+            x = mlp(
+                x, mask, deterministic,
+                fused_mods=(
+                    x, shift_mlp[:, 0, :], scale_mlp[:, 0, :], gate_mlp[:, 0, :]
+                ),
+            )
+        else:
+            x = x + gate_mlp * mlp(
+                _modulate(norm2(x), shift_mlp, scale_mlp), mask, deterministic
+            )
         return x
 
 

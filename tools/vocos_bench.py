@@ -1,0 +1,59 @@
+"""Vocos GAN training-step benchmark at the reference's training shapes:
+training config dim=768/inter=2048/12 layers (vocoders/vocos/config.py:21-26),
+segment_size=20480 samples, MPD(2,3,5,7,11) + MRD(2048,1024,512) both stepped
+before the generator. Reports audio-seconds/s/chip of vocoder training."""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stabletts_tpu.config import MelConfig, VocosConfig, VocosTrainConfig
+    from stabletts_tpu.train.train_vocos import init_vocos_training
+
+    mel_cfg = MelConfig()
+    vocos_cfg = VocosConfig(dim=768, intermediate_dim=2048, num_layers=12)
+    train_cfg = VocosTrainConfig(batch_size=args.batch)
+    gen, mpd, mrd, state, step_fn = init_vocos_training(vocos_cfg, mel_cfg, train_cfg, 10000)
+
+    b, seg = args.batch, train_cfg.segment_size
+    audio = jnp.asarray(
+        np.random.default_rng(0).standard_normal((b, seg)) * 0.1, jnp.float32
+    )
+
+    t0 = time.time()
+    state, metrics = step_fn(state, audio)
+    print(f"compile: {time.time()-t0:.1f}s, gen_loss_total {float(metrics['gen_loss_total']):.3f}")
+    state, metrics = step_fn(state, audio)
+
+    t0 = time.time()
+    for _ in range(args.iters):
+        state, metrics = step_fn(state, audio)
+    float(metrics["gen_loss_total"])
+    wall = (time.time() - t0) / args.iters
+    audio_seconds = b * seg / mel_cfg.sample_rate
+    print(
+        f"vocos GAN step: {wall*1e3:.1f} ms at B={b} seg={seg} "
+        f"-> {audio_seconds/wall:.1f} audio-s/s/chip"
+    )
+
+
+if __name__ == "__main__":
+    main()

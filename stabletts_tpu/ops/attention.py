@@ -1,15 +1,17 @@
-"""Attention ops: XLA einsum path and a fused Pallas flash path.
+"""Attention dispatch: fused packed-head Pallas kernel (TPU default), XLA
+einsum (CPU default / full-bias fallback), stock jax flash (comparison).
 
-The DiT attention at T≈1000 is the inference hot spot and is HBM-bound in the
-einsum formulation (the [B, H, T, T] logits tensor is materialized). The
-Pallas flash kernel (jax.experimental.pallas.ops.tpu.flash_attention) never
-materializes it; with tuned block sizes it measures ~1.7x faster than the XLA
-path on TPU v5e at [32, 4, 1024, 64].
+The DiT attention at T≈1000 is the inference hot spot and is HBM-bound in
+the einsum formulation (the [B, H, T, T] logits tensor is materialized).
+The packed-head kernel in ops/attention_pallas.py consumes the projections'
+native [B, T, H*D] layout (no transposes), keeps score tiles in VMEM, and
+lifts the end-to-end synthesis bench ~38% on v5e — see that module and
+docs/DESIGN.md for the measurements; ops/attention_pallas_train.py is its
+differentiable + dropout counterpart used by the training path.
 
-Padding semantics: sequences are padded to a block-size multiple and masked
-via segment ids (valid tokens = segment 1, padding = segment 0), so valid
-positions never attend to padding. Outputs at padding positions are garbage
-and must be masked by the caller (all call sites already do).
+Padding semantics (all paths): padded/invalid KEY positions are excluded;
+outputs at padded QUERY positions are garbage and must be masked by the
+caller (all call sites already do).
 """
 
 from __future__ import annotations

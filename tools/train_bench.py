@@ -32,7 +32,6 @@ def main():
 
     from stabletts_tpu.config import MelConfig, TrainConfig
     from stabletts_tpu.models import build_stabletts, init_stabletts_params
-    from stabletts_tpu.ops.mas import maximum_path
     from stabletts_tpu.train.state import TrainState
     from stabletts_tpu.train.train_tts import make_optimizer, make_train_step
 
@@ -73,16 +72,20 @@ def main():
         f"-> {audio_s/wall:.1f} audio-s/s/chip (loss {loss:.3f})"
     )
 
-    # MAS alone at the same shape
+    # MAS alone at the same shape (the dispatch the train step actually uses),
+    # amortized: queue all iterations, sync once (a per-call sync would
+    # measure the host<->device round-trip, not the kernel)
+    from stabletts_tpu.ops.mas import maximum_path_auto
+
+    mas_fn = jax.jit(maximum_path_auto)
     neg_cent = jnp.asarray(rng.standard_normal((b, ty, tx)), jnp.float32)
     mask = jnp.ones((b, ty, tx))
-    p = maximum_path(neg_cent, mask)
-    _ = float(p.sum())
+    _ = float(mas_fn(neg_cent, mask).sum())
+    n = max(args.iters * 4, 20)
     t0 = time.time()
-    for _ in range(args.iters):
-        p = maximum_path(neg_cent, mask)
-    _ = float(p.sum())
-    print(f"MAS [B={b},{ty},{tx}]: {(time.time()-t0)/args.iters*1000:.1f} ms")
+    outs = [mas_fn(neg_cent, mask) for _ in range(n)]
+    _ = float(outs[-1].sum())
+    print(f"MAS [B={b},{ty},{tx}]: {(time.time()-t0)/n*1000:.2f} ms")
 
 
 if __name__ == "__main__":

@@ -43,7 +43,7 @@ def main():
     from stabletts_tpu.config import MelConfig, VocosConfig
     from stabletts_tpu.models import build_stabletts, init_stabletts_params
     from stabletts_tpu.models.sampler import synthesise
-    from stabletts_tpu.models.vocos import Vocos
+    from stabletts_tpu.models.vocos import Vocos, vocos_apply_fused
 
     mel_cfg = MelConfig()
     model = build_stabletts()
@@ -59,7 +59,10 @@ def main():
     y_ref = jax.random.normal(jax.random.PRNGKey(2), (b, 300, mel_cfg.n_mels))
 
     vvars = vocos.init(jax.random.PRNGKey(3), jnp.zeros((1, 16, mel_cfg.n_mels)))
-    vocos_apply = jax.jit(vocos.apply)
+    if jax.devices()[0].platform == "tpu":
+        vocos_apply = jax.jit(lambda v, m: vocos_apply_fused(vocos, v, m))
+    else:
+        vocos_apply = jax.jit(vocos.apply)
 
     compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
     if compute_dtype is not None:

@@ -104,7 +104,17 @@ class StableTTSAPI:
             self.vocoder_variables = self.vocoder_model.init(
                 jax.random.PRNGKey(1), jnp.zeros((1, 8, self.mel_config.n_mels))
             )
-        self._vocoder_apply = jax.jit(self.vocoder_model.apply)
+        if (
+            isinstance(self.vocoder_model, Vocos)
+            and jax.devices()[0].platform == "tpu"
+        ):
+            from stabletts_tpu.models.vocos import vocos_apply_fused
+
+            self._vocoder_apply = jax.jit(
+                lambda v, m: vocos_apply_fused(self.vocoder_model, v, m)
+            )
+        else:
+            self._vocoder_apply = jax.jit(self.vocoder_model.apply)
 
         self.g2p_mapping = {
             "chinese": chinese_to_cnm3,

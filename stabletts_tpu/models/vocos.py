@@ -109,3 +109,53 @@ class Vocos(nn.Module):
         return ISTFTHead(
             self.vocos_config.dim, self.mel_config.n_fft, self.mel_config.hop_length, name="head"
         )(x)
+
+
+def vocos_apply_fused(model: Vocos, variables, mel, interpret: bool = False):
+    """Inference-only Vocos forward with each ConvNeXt block as one fused
+    Pallas kernel (ops/convnext_pallas.py). Same numerics as model.apply up
+    to the GELU variant already used at the activations' dtype; embed conv,
+    the outer LayerNorms, and the ISTFT head reuse the flax submodules
+    functionally, so every parameter is consumed from the same tree.
+
+    XLA lowers the k=7 depthwise conv to reshape/copy/reduce chains (~2.9 ms
+    per forward at [32, 1000, 512] on v5e); the fused kernel runs it as 7
+    shifted VPU FMAs on the resident tile. Not differentiable — GAN training
+    uses model.apply.
+    """
+    from stabletts_tpu.ops.convnext_pallas import fused_convnext_block
+
+    cfg, mel_cfg = model.vocos_config, model.mel_config
+    p = variables["params"]
+    pb = p["backbone"]
+
+    embed = nn.Conv(cfg.dim, (7,), padding="SAME")
+    x = embed.apply({"params": pb["embed"]}, mel)
+    ln = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype)
+    x = ln.apply({"params": pb["norm"]}, x)
+
+    t = x.shape[1]
+    pad = (-t) % 8  # kernel wants sublane-aligned rows
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        # keep pad rows zero between blocks so each dwconv sees SAME padding
+        rowmask = (jnp.arange(t + pad) < t).astype(x.dtype)[None, :, None]
+    for i in range(cfg.num_layers):
+        q = pb[f"convnext_{i}"]
+        x = fused_convnext_block(
+            x,
+            q["dwconv"]["kernel"][:, 0, :], q["dwconv"]["bias"],
+            q["norm"]["scale"], q["norm"]["bias"],
+            q["pwconv1"]["kernel"], q["pwconv1"]["bias"],
+            q["pwconv2"]["kernel"], q["pwconv2"]["bias"],
+            q["gamma"],
+            interpret=interpret,
+        )
+        if pad:
+            x = x * rowmask
+    if pad:
+        x = x[:, :t]
+    x = ln.apply({"params": pb["final_layer_norm"]}, x)
+
+    head = ISTFTHead(cfg.dim, mel_cfg.n_fft, mel_cfg.hop_length)
+    return head.apply({"params": p["head"]}, x)

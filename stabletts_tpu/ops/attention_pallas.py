@@ -63,16 +63,23 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "blk_q", "interpret"))
 def fused_attention_packed(q, k, v, mask=None, n_heads: int = 4,
-                           blk_q: int = 256, interpret: bool = False):
+                           blk_q: int = 512, interpret: bool = False):
     """q/k/v: [B, T, H*D] head-packed; mask: [B, T] validity (1=valid) or None.
 
     Returns [B, T, H*D]. Softmax statistics in f32, PV matmul accumulates
     f32; output in the input dtype. T is padded to a blk_q multiple
-    internally (zero-pad, masked via the additive key bias).
+    internally (zero-pad, masked via the additive key bias). blk_q clamps to
+    the (128-aligned) sequence length so short encoder sequences don't pad
+    to a full block. Default 512: measured 0.550 ms vs 0.576 (256) / 0.693
+    (128) at [32, 1024, 4, 64] bf16 on v5e.
     """
     b, t, c = q.shape
     head_dim = c // n_heads
     scale = 1.0 / math.sqrt(head_dim)
+    # pick the largest block <= blk_q that keeps padding minimal (pad only
+    # to the 128 lane multiple, never to a larger block boundary)
+    t128 = -(-t // 128) * 128
+    blk_q = next(cand for cand in (blk_q, 512, 256, 128) if cand <= blk_q and t128 % cand == 0)
     t_pad = -(-t // blk_q) * blk_q
 
     if t_pad != t:
@@ -103,6 +110,8 @@ def fused_attention_packed(q, k, v, mask=None, n_heads: int = 4,
         out_shape=jax.ShapeDtypeStruct((b, t_pad, c), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # large blk_q needs >16MB scoped VMEM (v5e has 128 MiB physical)
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * n_heads * t_pad * t_pad * head_dim,

@@ -66,13 +66,37 @@ def masked_sdpa(
     return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
 
 
+class _DenseParams(nn.Module):
+    """Bare dense weights with nn.Dense's exact param names/shapes/init —
+    lets MultiHeadAttention feed them to the fused DiT-attention kernel
+    without changing the checkpoint tree."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class MultiHeadAttention(nn.Module):
     """Self-attention with 1x1-conv projections and partial RoPE
     (reference: models/diffusion_transformer.py:33-81).
 
-    Inference uses ops.attention.masked_attention (fused Pallas flash on TPU);
-    training with attention dropout takes the einsum path so weights can be
-    dropped, matching torch SDPA's dropout_p (diffusion_transformer.py:77).
+    Inference uses ops.attention.masked_attention (fused Pallas kernel on
+    TPU); training with attention dropout uses the differentiable fused
+    kernel on TPU (in-kernel PRNG dropout) or the einsum path elsewhere,
+    matching torch SDPA's dropout_p (diffusion_transformer.py:77).
+
+    `fused_pre=(x_resid, shift, scale, gate)` switches to the fully fused
+    DiT-attention-half kernel (ops/dit_attention_pallas.py): LN + modulate +
+    qkv + RoPE + attention + out-proj + gated residual in one kernel. The
+    caller guarantees TPU + deterministic; x passed positionally is ignored
+    except for shape.
     """
 
     channels: int
@@ -81,7 +105,7 @@ class MultiHeadAttention(nn.Module):
     p_dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, mask=None, deterministic: bool = True):
+    def __call__(self, x, mask=None, deterministic: bool = True, fused_pre=None):
         from stabletts_tpu.ops.attention import masked_attention
         from stabletts_tpu.ops.mask import attn_bias_from_mask
 
@@ -89,9 +113,23 @@ class MultiHeadAttention(nn.Module):
         head_dim = self.channels // self.n_heads
         rotary_dim = int(head_dim * 0.5)
 
-        q = nn.Dense(self.channels, name="conv_q")(x).reshape(b, t, self.n_heads, head_dim)
-        k = nn.Dense(self.channels, name="conv_k")(x).reshape(b, t, self.n_heads, head_dim)
-        v = nn.Dense(self.channels, name="conv_v")(x).reshape(b, t, self.n_heads, head_dim)
+        wq, bq = _DenseParams(x.shape[-1], self.channels, name="conv_q")()
+        wk, bk = _DenseParams(x.shape[-1], self.channels, name="conv_k")()
+        wv, bv = _DenseParams(x.shape[-1], self.channels, name="conv_v")()
+
+        if fused_pre is not None:
+            from stabletts_tpu.ops.dit_attention_pallas import fused_dit_attention
+
+            wo, bo = _DenseParams(self.channels, self.out_channels, name="conv_o")()
+            x_resid, shift, scale, gate = fused_pre
+            return fused_dit_attention(
+                x_resid, shift, scale, gate, mask,
+                wq, bq, wk, bk, wv, bv, wo, bo, n_heads=self.n_heads,
+            )
+
+        q = (x @ wq + bq).reshape(b, t, self.n_heads, head_dim)
+        k = (x @ wk + bk).reshape(b, t, self.n_heads, head_dim)
+        v = (x @ wv + bv).reshape(b, t, self.n_heads, head_dim)
 
         q = apply_rope(q, rotary_dim)
         k = apply_rope(k, rotary_dim)
@@ -125,7 +163,8 @@ class MultiHeadAttention(nn.Module):
                 weights = nn.Dropout(self.p_dropout)(weights, deterministic=False)
                 out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
         out = out.reshape(b, t, self.channels)
-        return nn.Dense(self.out_channels, name="conv_o")(out)
+        wo, bo = _DenseParams(self.channels, self.out_channels, name="conv_o")()
+        return out @ wo + bo
 
 
 class _ConvParams(nn.Module):
@@ -231,9 +270,33 @@ class DiTConVBlock(nn.Module):
             self.hidden_channels, self.filter_channels, self.kernel_size, self.p_dropout, name="mlp"
         )
 
-        x = x + gate_msa * attn(
-            _modulate(norm1(x), shift_msa, scale_msa), mask, deterministic
-        ) * m
+        import os
+
+        # Whole-half fusion measured NEUTRAL end-to-end on v5e (2940 vs 2952
+        # audio-s/s): the per-batch-element qkv matmuls ([1024,256]x[256,256]
+        # per grid cell) lose what the removed layout copies gain vs XLA's
+        # batched [B*T,256] projections. Opt-in for future shapes where the
+        # trade flips (e.g. longer T); the packed-head attention kernel
+        # (ops/attention_pallas.py, reached via masked_attention below)
+        # remains the measured-best default.
+        fuse_halves = (
+            os.environ.get("STABLETTS_DIT_FUSED") == "1"
+            and deterministic
+            and x.shape[1] % 8 == 0
+            and not self.is_initializing()
+        )
+        if fuse_halves:
+            # one kernel for the whole attention half: LN + modulate + qkv +
+            # RoPE + attention + out-proj + gated residual
+            # (ops/dit_attention_pallas.py)
+            x = attn(
+                x, mask, deterministic,
+                fused_pre=(x, shift_msa[:, 0, :], scale_msa[:, 0, :], gate_msa[:, 0, :]),
+            )
+        else:
+            x = x + gate_msa * attn(
+                _modulate(norm1(x), shift_msa, scale_msa), mask, deterministic
+            ) * m
 
         import os
 

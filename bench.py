@@ -23,7 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=32)
+    # batch 64 measured best on v5e: 2971 audio-s/s vs 2851 at B=32 (B=96/128
+    # hit pathological multi-minute compiles on the tunneled backend)
+    ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--frames", type=int, default=1000, help="mel frames per utterance (1000 = 11.6 s)")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--cfg", type=float, default=1.0)

@@ -184,7 +184,13 @@ class _ConvParams(nn.Module):
 
 
 def _conv1d_same(x, kernel, bias):
-    """nn.Conv-equivalent 1D conv: x [B,T,Cin], kernel [k,Cin,Cout]."""
+    """nn.Conv-equivalent 1D conv: x [B,T,Cin], kernel [k,Cin,Cout].
+
+    Stays lax.conv deliberately: a shifted-matmul formulation
+    (ops/conv.py conv1d_same_dots) that keeps the hot loop row-major and
+    removes XLA's conv-layout copies measured 4% SLOWER end-to-end on v5e
+    (2736 vs 2851 audio-s/s) — the k dot intermediates cost more HBM traffic
+    than the copies they remove. See DESIGN.md "Layout copies"."""
     y = jax.lax.conv_general_dilated(
         x, kernel, window_strides=(1,), padding="SAME",
         dimension_numbers=("NHC", "HIO", "NHC"),

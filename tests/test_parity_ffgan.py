@@ -67,3 +67,21 @@ def test_ffgan_full_parity(pair):
     got_wav = np.asarray(model.apply(variables, jnp.asarray(mel)))
     assert got_wav.shape == ref_wav.shape == (2, 16 * 512)
     np.testing.assert_allclose(got_wav, ref_wav, rtol=2e-3, atol=2e-3)
+
+
+def test_conv1d_same_dots_matches_lax_conv():
+    # documented alternative formulation (ops/conv.py) — not wired into any
+    # model path, but must stay numerically equivalent to lax.conv SAME
+    import jax
+
+    from stabletts_tpu.ops.conv import conv1d_same_dots
+
+    rng = np.random.default_rng(0)
+    for k in (1, 3, 5):
+        x = jnp.asarray(rng.standard_normal((2, 17, 8)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((k, 8, 12)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((12,)), jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1,), "SAME", dimension_numbers=("NHC", "HIO", "NHC")
+        ) + b
+        np.testing.assert_allclose(conv1d_same_dots(x, w, b), ref, atol=1e-5)

@@ -61,9 +61,9 @@ def synthesise(
         noise = noise.astype(compute_dtype)
         y_ref = y_ref.astype(compute_dtype)
 
-    # Round the internal mel length up to the fused-attention block multiple
-    # (ops/attention_pallas.py, blk_q=256) so the hot loop never pads or
-    # re-lays-out per ODE step. Numerics-neutral: every conv/attention
+    # Round the internal mel length up to a fused-attention block multiple
+    # (ops/attention_pallas.py picks the largest of 512/256/128 that divides
+    # the length) so the hot loop never pads or re-lays-out per ODE step. Numerics-neutral: every conv/attention
     # boundary in the estimator masks by y_mask, so frames beyond
     # max_mel_len behave exactly like the already-masked tail frames.
     # Measured on v5e at B=32/T=1000: removes ~60 pad + 240 copy ops/run.

@@ -314,6 +314,7 @@ class DiTConVBlock(nn.Module):
             os.environ.get("STABLETTS_FFN_IMPL") == "fused"
             and deterministic
             and x.shape[1] % 8 == 0
+            and self.kernel_size == 3  # the fused kernel hard-codes 3 taps
             and not self.is_initializing()
         ):
             # fused LN+modulate+FFN+gated-residual kernel (TPU inference)

@@ -27,7 +27,9 @@ import os
 
 _DEFAULT_IMPL = os.environ.get("STABLETTS_ATTN_IMPL", "auto")
 _FLASH_BLOCK = 512
-_FLASH_MIN_T = 256
+# below one 128-row lane tile the fused kernel is mostly padding compute;
+# auto mode falls back to the XLA einsum path there
+_FUSED_MIN_T = 128
 
 
 def set_default_impl(impl: str) -> None:
@@ -52,7 +54,7 @@ def _resolve_impl(impl: Optional[str], seq_len: int) -> str:
         platform = jax.devices()[0].platform
     except Exception:
         platform = "cpu"
-    return "fused" if platform == "tpu" else "xla"
+    return "fused" if platform == "tpu" and seq_len >= _FUSED_MIN_T else "xla"
 
 
 def _xla_attention(q, k, v, bias):

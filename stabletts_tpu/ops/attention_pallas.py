@@ -19,8 +19,10 @@ unnecessary (whole K/V fits in VMEM), and flash requires the transposed
 
 Measured on TPU v5e (axon) at [32, 1024, 4, 64] bf16, amortized over 200
 calls with a single tail readback: this kernel 0.61 ms vs XLA einsum path
-(including its layout transposes) 1.82 ms — ~3x. Block size blk_q=256 and
-dimension_semantics=("parallel", "arbitrary") measured best.
+(including its layout transposes) 1.82 ms — ~3x. Block size blk_q=512 and
+dimension_semantics=("parallel", "arbitrary") measured best (0.550 ms vs
+0.576 at 256); shorter sequences fall back to the largest block that divides
+the 128-padded length.
 
 Padding semantics match ops/attention.py: `mask` ([B, T], 1=valid) masks
 KEYS only; outputs at padded query rows are finite garbage the caller masks.
@@ -78,6 +80,8 @@ def fused_attention_packed(q, k, v, mask=None, n_heads: int = 4,
     scale = 1.0 / math.sqrt(head_dim)
     # pick the largest block <= blk_q that keeps padding minimal (pad only
     # to the 128 lane multiple, never to a larger block boundary)
+    if blk_q < 128:
+        raise ValueError(f"blk_q must be >= 128 (the lane-tile minimum), got {blk_q}")
     t128 = -(-t // 128) * 128
     blk_q = next(cand for cand in (blk_q, 512, 256, 128) if cand <= blk_q and t128 % cand == 0)
     t_pad = -(-t // blk_q) * blk_q
@@ -123,7 +127,7 @@ def fused_attention_packed(q, k, v, mask=None, n_heads: int = 4,
     return out[:, :t] if t_pad != t else out
 
 
-def fused_attention(q, k, v, mask=None, blk_q: int = 256, interpret: bool = False):
+def fused_attention(q, k, v, mask=None, blk_q: int = 512, interpret: bool = False):
     """q/k/v: [B, T, H, D]; mask: [B, T] validity (1=valid) or None.
 
     Thin wrapper over fused_attention_packed — the [B,T,H,D] <-> [B,T,H*D]

@@ -7,7 +7,7 @@ import jax.numpy as jnp
 
 
 def conv1d_same_dots(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
-    """SAME-padded 1D conv as k shifted matmuls: y[t] = sum_j x[t+j-k//2] @ K[j].
+    """SAME-padded 1D conv as k shifted matmuls: y[t] = sum_j x[t+j-(k-1)//2] @ K[j].
 
     Numerically equivalent to lax.conv_general_dilated("NHC","HIO","NHC",
     padding=SAME) up to f32 accumulation order. Motivation: XLA lays out
@@ -24,8 +24,7 @@ def conv1d_same_dots(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> 
     backends where conv support is weak; not wired into any model path.
     """
     k = kernel.shape[0]
-    half = k // 2
-    t = x.shape[1]
+    half = (k - 1) // 2  # XLA SAME pads lo=(k-1)//2, hi=k//2 (asymmetric for even k)
     y = x @ kernel[half]
     for j in range(k):
         off = j - half  # y[t] += (x @ K[j])[t + off]

@@ -79,6 +79,11 @@ def fused_adaln_ffn(x, shift, scale, gate, mask, w1, b1, w2, b2,
     Returns x + gate * FFN(modulate(LN(x))) with the reference's masking.
     T must be a multiple of 8 (the sampler pads to 256-multiples already).
     """
+    if w1.shape[0] != 3 or w2.shape[0] != 3:
+        raise ValueError(
+            f"fused_adaln_ffn hard-codes kernel_size 3 taps; got w1 k={w1.shape[0]}, "
+            f"w2 k={w2.shape[0]} — use the lax.conv FFN path for other kernel sizes"
+        )
     b, t, c = x.shape
     f = w1.shape[-1]
     mod = jnp.stack([shift, scale, gate], axis=1)  # [B, 3, C]

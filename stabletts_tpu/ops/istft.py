@@ -106,8 +106,9 @@ def istft_same_real(
     y = overlap_add(frames, hop_length)
 
     env = window_envelope(window, n_frames, hop_length)
-    assert (env[pad:-pad] > 1e-11).all(), "NOLA violated"
-    return y[:, pad:-pad] / jnp.asarray(env[pad:-pad])
+    end = -pad or None  # pad == 0 (win == hop): keep everything, y[:, 0:-0] is empty
+    assert (env[pad:end] > 1e-11).all(), "NOLA violated"
+    return y[:, pad:end] / jnp.asarray(env[pad:end])
 
 
 def istft_same(spec: jnp.ndarray, n_fft: int, hop_length: int, win_length: int) -> jnp.ndarray:
@@ -126,6 +127,7 @@ def istft_same(spec: jnp.ndarray, n_fft: int, hop_length: int, win_length: int) 
     y = overlap_add(ifft, hop_length)  # [B, (T-1)*hop + win]
 
     env = window_envelope(window, n_frames, hop_length)
-    assert (env[pad:-pad] > 1e-11).all(), "NOLA violated"
-    y = y[:, pad:-pad] / jnp.asarray(env[pad:-pad])
+    end = -pad or None  # pad == 0 (win == hop): keep everything, y[:, 0:-0] is empty
+    assert (env[pad:end] > 1e-11).all(), "NOLA violated"
+    y = y[:, pad:end] / jnp.asarray(env[pad:end])
     return y

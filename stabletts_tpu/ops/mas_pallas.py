@@ -42,6 +42,12 @@ def _mas_kernel(t_ys_ref, t_xs_ref, neg_ref, path_ref, prev_ref, curr_ref,
         )
 
     # ---- forward: accumulate rows, record decision bits ----
+    # zero-init the prev-row scratch: at y=0 both v_cur and shifted read it
+    # (masked to -1e9/edge at x==0, but x>0 lanes feed dbits[0]); dbits[0]
+    # can never change the path — the backtrace only uses it for the idx
+    # update AFTER path row 0 is written — but uninitialized VMEM must not
+    # reach any computed value (interpret-mode determinism, refactor safety)
+    prev_ref[...] = jnp.zeros_like(prev_ref)
     in_dma(0, 0).start()
 
     def fwd_body(y, _):

@@ -177,19 +177,28 @@ def odeint_adaptive(
     Runs under jit via lax.while_loop capped at max_steps accepted+rejected
     attempts; replaces torchdiffeq's adaptive solvers (dopri5/bosh3/fehlberg2/
     adaptive_heun) for inference API parity.
+
+    The step controller (t, dt, error norm) and the stage accumulation run in
+    float32 regardless of y0.dtype: with a bf16 state the controller would
+    quantize t/dt (verified: dy/dt=y over [0,1] in bf16 time gives 2.859 vs
+    e=2.718 and can exhaust max_steps mid-trajectory). Only the f(t, y) calls
+    see y0.dtype, so a bf16 network still computes in bf16.
     """
     c_t, a_t, bh_t, bl_t, err_order = _TABLEAUS[method]
     n_stages = len(c_t)
     exponent = -1.0 / (err_order + 1)
+    y_dtype = jnp.result_type(y0)
+    f32 = jnp.float32
 
     def rk_step(t, dt, y):
+        # y, ks, and the combination arithmetic are f32; f is called at y_dtype
         ks = []
         for i in range(n_stages):
             yi = y
             for j, a in enumerate(a_t[i]):
                 if a != 0.0:
                     yi = yi + dt * a * ks[j]
-            ks.append(f(t + dt * c_t[i], yi))
+            ks.append(f(t + dt * c_t[i], yi.astype(y_dtype)).astype(f32))
         y_hi = y
         err = jnp.zeros_like(y)
         for i in range(n_stages):
@@ -220,10 +229,12 @@ def odeint_adaptive(
         dt = dt * factor
         return (t, dt, y, n + 1)
 
-    t = jnp.asarray(t0, dtype=y0.dtype)
-    dt = jnp.asarray(first_step, dtype=y0.dtype)
-    _, _, y_final, _ = jax.lax.while_loop(cond, body, (t, dt, y0, jnp.asarray(0)))
-    return y_final
+    t = jnp.asarray(t0, dtype=f32)
+    dt = jnp.asarray(first_step, dtype=f32)
+    _, _, y_final, _ = jax.lax.while_loop(
+        cond, body, (t, dt, y0.astype(f32), jnp.asarray(0))
+    )
+    return y_final.astype(y_dtype)
 
 
 def odeint_dopri5(f, y0, t0, t1, **kwargs) -> jnp.ndarray:

@@ -92,3 +92,17 @@ def test_dispatch_and_nonuniform_grid():
     for dt in np.diff(tn):
         expected *= 1 - dt
     np.testing.assert_allclose(float(y), expected, rtol=1e-6)
+
+
+def test_adaptive_bf16_state_keeps_f32_controller():
+    # regression: with a bf16 state the step controller must still run in
+    # f32 — a bf16 t/dt quantizes the grid (dy/dt=y gave 2.859 vs e) and can
+    # exhaust max_steps mid-trajectory, silently returning a partial result
+    f = lambda t, y: y
+    y0 = jnp.ones((4, 8), jnp.bfloat16)
+    y = odeint(f, y0, jnp.linspace(0.0, 1.0, 2), method="dopri5", max_steps=64)
+    assert y.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(y, np.float32), np.e, rtol=2e-2)
+    # tight-tolerance check in f32 confirms the controller integrates fully
+    y32 = odeint(f, jnp.ones(()), jnp.linspace(0.0, 1.0, 2), method="dopri5")
+    np.testing.assert_allclose(float(y32), np.e, rtol=1e-4)

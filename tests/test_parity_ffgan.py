@@ -77,7 +77,7 @@ def test_conv1d_same_dots_matches_lax_conv():
     from stabletts_tpu.ops.conv import conv1d_same_dots
 
     rng = np.random.default_rng(0)
-    for k in (1, 3, 5):
+    for k in (1, 2, 3, 4, 5):
         x = jnp.asarray(rng.standard_normal((2, 17, 8)), jnp.float32)
         w = jnp.asarray(rng.standard_normal((k, 8, 12)), jnp.float32)
         b = jnp.asarray(rng.standard_normal((12,)), jnp.float32)

@@ -58,6 +58,12 @@ class Decoder(nn.Module):
     use_lsc: bool = True
 
     def setup(self):
+        if self.use_lsc and self.n_layers % 2 != 0:
+            # reference models/estimator.py asserts n_layers % 2 == 0; without
+            # it the LSC stack pops more than it pushes and dies mid-trace
+            raise ValueError(
+                f"n_layers must be even when use_lsc=True (got {self.n_layers})"
+            )
         self.time_mlp = TimestepEmbedding(self.hidden_channels, self.filter_channels)
         self.cond_proj_0 = nn.Conv(self.filter_channels, (self.kernel_size,), padding="SAME")
         self.cond_proj_2 = nn.Conv(self.filter_channels, (self.kernel_size,), padding="SAME")

@@ -108,7 +108,11 @@ class StableTTS(nn.Module):
         x, mu_x, x_mask = self.encoder(x, c, x_lengths, True)
         logw = self.dp(x, x_mask, c, True)  # [B, Tx, 1]
 
-        w = jnp.exp(logw) * x_mask[..., None]
+        # duration -> frame-position arithmetic stays f32 even under a bf16
+        # compute dtype: above frame 512 bf16's ulp is 4, so a bf16 cumsum /
+        # arange would collapse consecutive frame positions and silently drop
+        # short phonemes past ~6 s of audio
+        w = jnp.exp(logw.astype(jnp.float32)) * x_mask[..., None].astype(jnp.float32)
         w_ceil = jnp.ceil(w) * length_scale
         # clip_len < max_mel_len when the sampler pads the compute length to
         # an attention-block multiple: true lengths still honor the caller's
@@ -118,10 +122,13 @@ class StableTTS(nn.Module):
         ).astype(jnp.int32)
 
         y_mask = sequence_mask(y_lengths, max_mel_len, dtype=x_mask.dtype)
-        attn_mask = x_mask[:, :, None] * y_mask[:, None, :]  # [B, Tx, Ty]
+        attn_mask = (
+            x_mask[:, :, None] * y_mask[:, None, :]
+        ).astype(jnp.float32)  # [B, Tx, Ty]
         attn = generate_path(w_ceil[..., 0], attn_mask)
 
-        mu_y = jnp.einsum("bxy,bxc->byc", attn, mu_x)  # aligned encoder output
+        # path entries are exact 0/1 — safe to cast down for the MXU einsum
+        mu_y = jnp.einsum("bxy,bxc->byc", attn.astype(mu_x.dtype), mu_x)
         return {
             "mu_y": mu_y,
             "c": c,
@@ -163,6 +170,14 @@ class StableTTS(nn.Module):
         b, t_len = mu.shape[0], mu.shape[1]
         fake_c = jnp.broadcast_to(self.fake_speaker, (b, self.gin_channels))
         if fake_mu is None:
+            if mu_is_precomputed:
+                # the raw fake_content embedding must go through the estimator
+                # prenet like the reference's cfg_wrapper does — feeding it as
+                # if it were prenet output silently corrupts the uncond branch
+                raise ValueError(
+                    "cfg_velocity: mu is precomputed but fake_mu is None; pass "
+                    "precompute_fake_mu(...) output for the unconditional branch"
+                )
             fake_mu = jnp.broadcast_to(self.fake_content[:, None, :], (b, t_len, self.mel_channels))
         cat = lambda a, b_: jnp.concatenate([a, b_], axis=0)
         out = self.decoder(

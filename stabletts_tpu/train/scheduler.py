@@ -51,11 +51,16 @@ def linear_with_warmup(lr: float, warmup_steps: int, total_steps: int) -> optax.
 
 
 def inverse_sqrt_with_warmup(lr: float, warmup_steps: int) -> optax.Schedule:
+    # transformers' inverse_sqrt falls back to timescale=10000 when
+    # num_warmup_steps=0; without it step 0 evaluates sqrt(0/0)=NaN (both
+    # jnp.where branches are computed) and every later step decays to lr*0
+    timescale = warmup_steps if warmup_steps > 0 else 10_000
+
     def schedule(step):
         import jax.numpy as jnp
 
         warm = step / jnp.maximum(warmup_steps, 1)
-        decay = jnp.sqrt(warmup_steps / jnp.maximum(step, warmup_steps))
+        decay = jnp.sqrt(timescale / jnp.maximum(step, timescale))
         return lr * jnp.where(step < warmup_steps, warm, decay)
 
     return schedule

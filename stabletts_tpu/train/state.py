@@ -52,7 +52,11 @@ def _epochs(path: str, regex) -> set:
 
 
 def save_checkpoint(ckpt_dir: str, epoch: int, params, opt_state) -> None:
-    """Save checkpoint_{epoch} (params) and optimizer_{epoch} (opt state)."""
+    """Save checkpoint_{epoch} (params) and optimizer_{epoch} (opt state).
+
+    COLLECTIVE in multi-host runs: orbax barriers across all JAX processes,
+    so every rank must call this (orbax no-ops the writes on non-primary
+    hosts); ckpt_dir must be shared storage."""
     import orbax.checkpoint as ocp
 
     ckpt_dir = os.path.abspath(ckpt_dir)
@@ -98,7 +102,8 @@ _VOCOS_PARTS = ("generator", "mpd", "mrd", "optimizerd", "optimizerg")
 
 def save_checkpoint_named(ckpt_dir: str, epoch: int, parts: dict) -> None:
     """Save named state parts as {name}_{epoch} dirs (vocos protocol:
-    reference vocoders/vocos/train.py:150-155)."""
+    reference vocoders/vocos/train.py:150-155). COLLECTIVE in multi-host
+    runs — call from every rank (see save_checkpoint)."""
     import orbax.checkpoint as ocp
 
     ckpt_dir = os.path.abspath(ckpt_dir)

@@ -54,11 +54,9 @@ def make_train_step(
 
         def loss_fn(params):
             if compute_dtype is not None:
-                params = jax.tree_util.tree_map(
-                    lambda p: p.astype(compute_dtype)
-                    if jnp.issubdtype(p.dtype, jnp.floating) else p,
-                    params,
-                )
+                from stabletts_tpu.models.sampler import cast_tree
+
+                params = cast_tree(params, compute_dtype)
                 yy, zz = y.astype(compute_dtype), z.astype(compute_dtype)
             else:
                 yy, zz = y, z
@@ -149,7 +147,11 @@ def train(
             if rank == 0 and log_fn is not None and batch_idx % train_cfg.log_interval == 0:
                 log_fn(epoch * steps_per_epoch + batch_idx, jax.device_get(metrics))
 
-        if rank == 0 and epoch % train_cfg.save_interval == 0:
+        if epoch % train_cfg.save_interval == 0:
+            # ALL ranks call save: orbax's save is a collective (it barriers in
+            # multihost.sync_global_processes); gating on rank 0 would deadlock
+            # multi-host runs. Orbax itself makes non-primary hosts no-op the
+            # actual writes.
             save_checkpoint(
                 train_cfg.model_save_path, epoch, jax.device_get(state.params),
                 jax.device_get(state.opt_state),

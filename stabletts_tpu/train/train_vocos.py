@@ -60,12 +60,30 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def make_gan_optimizer(cfg: VocosTrainConfig, total_steps: int) -> optax.GradientTransformation:
-    """AdamW + cosine-warmup + grad clip (reference: train.py:73-77, 108-109)."""
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adamw(cosine_with_warmup(cfg.learning_rate, cfg.warmup_steps, total_steps)),
+def make_gan_optimizer(
+    cfg: VocosTrainConfig, total_steps: int, clip: bool = True
+) -> optax.GradientTransformation:
+    """AdamW + cosine-warmup + grad clip (reference: train.py:73-77, 108-109).
+
+    weight_decay=0.01 matches torch.optim.AdamW's default, which the
+    reference uses implicitly (optax's default would be 1e-4 — 100x weaker).
+    clip=False omits the global-norm clip for callers that clip per-subtree
+    (the reference clips MPD and MRD separately, train.py:108-109).
+    """
+    tx = optax.adamw(
+        cosine_with_warmup(cfg.learning_rate, cfg.warmup_steps, total_steps),
+        b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01,
     )
+    if clip:
+        return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    return tx
+
+
+def _clip_by_norm(grads, max_norm: float):
+    """optax.clip_by_global_norm's scaling applied to one subtree."""
+    norm = optax.global_norm(grads)
+    scale = max_norm / jnp.maximum(norm, max_norm)  # min(1, max_norm/norm)
+    return jax.tree_util.tree_map(lambda g: g * scale, grads)
 
 
 def make_vocos_train_step(
@@ -76,6 +94,7 @@ def make_vocos_train_step(
     tx_d: optax.GradientTransformation,
     mel_cfg: MelConfig,
     mel_loss_coeff: float,
+    grad_clip: float = 1000.0,
 ) -> Callable:
     ms_cfgs = multi_scale_mel_configs(mel_cfg)
 
@@ -101,6 +120,13 @@ def make_vocos_train_step(
         )(pd)
         grad_norm_mpd = optax.global_norm(grads_d["mpd"])
         grad_norm_mrd = optax.global_norm(grads_d["mrd"])
+        # the reference clips MPD and MRD norms SEPARATELY at grad_clip
+        # (train.py:108-109); a single clip over the combined tree would
+        # rescale both whenever their joint norm crosses the bound
+        grads_d = {
+            "mpd": _clip_by_norm(grads_d["mpd"], grad_clip),
+            "mrd": _clip_by_norm(grads_d["mrd"], grad_clip),
+        }
         upd_d, opt_d = tx_d.update(grads_d, state.opt_d, pd)
         pd = optax.apply_updates(pd, upd_d)
 
@@ -166,7 +192,9 @@ def init_vocos_training(
     params_mrd = mrd.init(r3, dummy_audio, dummy_audio)["params"]
 
     tx_g = make_gan_optimizer(train_cfg, total_steps)
-    tx_d = make_gan_optimizer(train_cfg, total_steps)
+    # D grads are clipped per-subtree inside the step (reference clips MPD and
+    # MRD separately), so the D optimizer carries no combined-tree clip
+    tx_d = make_gan_optimizer(train_cfg, total_steps, clip=False)
     state = VocosTrainState(
         step=0,
         params_g=params_g, params_mpd=params_mpd, params_mrd=params_mrd,
@@ -174,7 +202,10 @@ def init_vocos_training(
         opt_d=tx_d.init({"mpd": params_mpd, "mrd": params_mrd}),
     )
     step_fn = jax.jit(
-        make_vocos_train_step(gen, mpd, mrd, tx_g, tx_d, mel_cfg, train_cfg.mel_loss_coeff),
+        make_vocos_train_step(
+            gen, mpd, mrd, tx_g, tx_d, mel_cfg, train_cfg.mel_loss_coeff,
+            grad_clip=train_cfg.grad_clip,
+        ),
         donate_argnums=(0,),
     )
     return gen, mpd, mrd, state, step_fn
@@ -204,13 +235,23 @@ def train_vocos(
     dataset = VocosDataset(train_cfg.train_dataset_path, train_cfg.segment_size, mel_cfg.sample_rate)
     n_epochs = num_epochs or train_cfg.num_epochs
     per_rank = len(dataset) // n_proc
-    steps_per_epoch = max(per_rank // train_cfg.batch_size, 1)
+    # identical on every rank — each rank's order slice has >= per_rank
+    # elements, so every rank executes exactly this many (global, collective)
+    # steps; a per-rank count would deadlock multi-host runs
+    steps_per_epoch = per_rank // train_cfg.batch_size
+    if steps_per_epoch == 0:
+        raise ValueError(
+            f"dataset ({len(dataset)} clips) is smaller than one global batch "
+            f"({n_proc} hosts x batch_size {train_cfg.batch_size})"
+        )
     total_steps = n_epochs * steps_per_epoch
 
     gen, mpd, mrd, state, step_fn = init_vocos_training(
         vocos_cfg, mel_cfg, train_cfg, total_steps, train_cfg.seed
     )
     start_epoch, state = continue_training_vocos(train_cfg.model_save_path, state)
+    # align the step counter with the resumed epoch (metrics/step-keyed logic)
+    state = state.replace(step=start_epoch * steps_per_epoch)
     state = mesh_lib.replicate(mesh, state)
 
     for epoch in range(start_epoch, n_epochs):
@@ -220,15 +261,17 @@ def train_vocos(
         t0 = time.time()
         metrics = {}
         for b in range(steps_per_epoch):
+            # always a full batch: steps_per_epoch * batch_size <= per_rank
             idx = order[b * train_cfg.batch_size : (b + 1) * train_cfg.batch_size]
-            if len(idx) < train_cfg.batch_size:
-                break
             audio = dataset.batch(idx, rng)
             audio_dev = mesh_lib.shard_batch(mesh, audio)
             state, metrics = step_fn(state, audio_dev)
             if rank == 0 and log_fn is not None and b % train_cfg.log_interval == 0:
                 log_fn(epoch * steps_per_epoch + b, jax.device_get(metrics))
-        if rank == 0 and epoch % train_cfg.save_interval == 0:
+        if epoch % train_cfg.save_interval == 0:
+            # ALL ranks call save: orbax's save barriers across processes
+            # (rank-0 gating would deadlock multi-host); orbax no-ops the
+            # writes on non-primary hosts
             host_state = jax.device_get(state)
             save_checkpoint_named(train_cfg.model_save_path, epoch, {
                 "generator": host_state.params_g,

@@ -34,14 +34,9 @@ def _load_params(path: str, template, torch_converter):
         import orbax.checkpoint as ocp
 
         return ocp.StandardCheckpointer().restore(os.path.abspath(path), template)
-    import torch
+    from stabletts_tpu.utils.convert import load_torch_state_dict_numpy
 
-    from stabletts_tpu.utils.convert import torch_state_dict_to_numpy
-
-    sd = torch.load(path, map_location="cpu", weights_only=True)
-    if isinstance(sd, dict) and "state_dict" in sd:
-        sd = sd["state_dict"]
-    return torch_converter(torch_state_dict_to_numpy(sd))
+    return torch_converter(load_torch_state_dict_numpy(path))
 
 
 def get_vocoder(model_path: str, model_name: str = "ffgan"):
@@ -192,10 +187,9 @@ class StableTTSAPI:
         call covers the whole batch. Returns a list of waveforms.
 
         Text lengths are padded to a shared shape; outputs are trimmed per
-        item by the predicted durations.
+        item by the predicted durations. Like inference(), the static mel cap
+        regrows (x2, whole batch) when any item's predicted length hits it.
         """
-        from stabletts_tpu.ops.mask import sequence_mask
-
         max_mel_len = max_mel_len or self._default_max_mel_len
         id_lists = []
         for text, language in items:
@@ -220,14 +214,21 @@ class StableTTSAPI:
         ref_mel = log_mel_spectrogram(jnp.asarray(wav)[None, :], self.mel_config)
         ref_mel = jnp.broadcast_to(ref_mel, (b,) + ref_mel.shape[1:])
 
-        noise = jax.random.normal(
-            jax.random.PRNGKey(seed), (b, max_mel_len, self.mel_config.n_mels)
-        )
-        out = synthesise(
-            self.tts_model, self.tts_variables, jnp.asarray(x), jnp.asarray(x_lengths),
-            noise, ref_mel, n_timesteps=step, temperature=temperature,
-            length_scale=length_scale, solver=solver, cfg=cfg, max_mel_len=max_mel_len,
-        )
+        while True:
+            noise = jax.random.normal(
+                jax.random.PRNGKey(seed), (b, max_mel_len, self.mel_config.n_mels)
+            )
+            out = synthesise(
+                self.tts_model, self.tts_variables, jnp.asarray(x), jnp.asarray(x_lengths),
+                noise, ref_mel, n_timesteps=step, temperature=temperature,
+                length_scale=length_scale, solver=solver, cfg=cfg, max_mel_len=max_mel_len,
+            )
+            # any item clamped at the cap -> regrow and resynthesize (same
+            # semantics as inference(); without this long items are silently
+            # truncated mid-sentence)
+            if int(np.asarray(out["y_lengths"]).max()) < max_mel_len or max_mel_len >= 8192:
+                break
+            max_mel_len *= 2
         audio = np.asarray(self._vocoder_apply(self.vocoder_variables, out["decoder_outputs"]))
         y_lengths = np.asarray(out["y_lengths"])
         hop = self.mel_config.hop_length

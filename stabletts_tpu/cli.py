@@ -17,15 +17,6 @@ import json
 import sys
 
 
-def _add_overrides(cfg, args, fields):
-    kw = {}
-    for field in fields:
-        v = getattr(args, field.replace("-", "_"), None)
-        if v is not None:
-            kw[field] = v
-    return dataclasses.replace(cfg, **kw) if kw else cfg
-
-
 def cmd_preprocess(args):
     from stabletts_tpu.data.preprocess import DataConfig, preprocess
 
@@ -89,24 +80,20 @@ def cmd_convert(args):
 
     import numpy as np
     import orbax.checkpoint as ocp
-    import torch
 
     from stabletts_tpu.utils.convert import (
-        torch_state_dict_to_numpy,
+        load_torch_state_dict_numpy,
         torch_to_flax_ffgan,
         torch_to_flax_stabletts,
         torch_to_flax_vocos,
     )
 
-    sd = torch.load(args.input, map_location="cpu", weights_only=True)
-    if isinstance(sd, dict) and "state_dict" in sd:
-        sd = sd["state_dict"]
     converter = {
         "stabletts": torch_to_flax_stabletts,
         "vocos": torch_to_flax_vocos,
         "ffgan": torch_to_flax_ffgan,
     }[args.kind]
-    params = converter(torch_state_dict_to_numpy(sd))
+    params = converter(load_torch_state_dict_numpy(args.input))
     n = sum(int(np.prod(p.shape)) for p in __import__("jax").tree_util.tree_leaves(params))
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.abspath(args.output), params, force=True)

@@ -157,9 +157,15 @@ def genshin(
         if npc not in wb.sheetnames:
             continue
         sheet = wb[npc]
-        audio_names = [c.value for c in sheet["C"] if c.value][1:]
-        texts = [c.value for c in sheet["D"] if c.value][1:]
-        for audio_name, text in zip(audio_names, texts):
+        # filter rows JOINTLY: filtering the two columns independently would
+        # shift one list past the other at any row with an empty cell and
+        # misalign every following (audio, text) pair
+        rows = [
+            (c_cell.value, d_cell.value)
+            for c_cell, d_cell in zip(sheet["C"], sheet["D"])
+            if c_cell.value and d_cell.value
+        ][1:]
+        for audio_name, text in rows:
             audio = os.path.abspath(os.path.join(dataset_path, npc, str(audio_name)))
             if not os.path.exists(audio):
                 continue

@@ -23,7 +23,7 @@ def find_audio_files(directory: str) -> List[str]:
     out = []
     for root, _, files in os.walk(directory):
         for f in files:
-            if f.endswith(VALID_EXTENSIONS):
+            if f.lower().endswith(VALID_EXTENSIONS):
                 out.append(os.path.join(root, f))
     return sorted(out)
 
@@ -50,6 +50,7 @@ class VocosDataset:
                 self.filelist = [line.strip() for line in f if os.path.exists(line.strip())]
         if not self.filelist:
             raise ValueError(f"no audio files found from {filelist_path}")
+        self._warned: set = set()
 
     def __len__(self):
         return len(self.filelist)
@@ -61,7 +62,7 @@ class VocosDataset:
         without materializing the full file on the Python side)."""
         path = self.filelist[idx]
         start_frac = float(rng.random())
-        if path.endswith(".wav"):
+        if path.lower().endswith(".wav"):
             from stabletts_tpu.native import load_segment_native
 
             seg = load_segment_native(path, self.sample_rate, self.segment_size, start_frac)
@@ -69,7 +70,18 @@ class VocosDataset:
                 return seg
         wav = load_and_resample_audio(path, self.sample_rate)
         if wav is None:
-            return np.zeros((self.segment_size,), dtype=np.float32)
+            # substitute the next decodable clip instead of silently training
+            # the GAN on all-zero "audio"; warn once per bad file
+            if path not in self._warned:
+                self._warned.add(path)
+                print(f"[vocos_dataset] WARNING: failed to decode {path}; substituting next clip")
+            for step in range(1, len(self.filelist)):
+                alt = (idx + step) % len(self.filelist)
+                wav = load_and_resample_audio(self.filelist[alt], self.sample_rate)
+                if wav is not None:
+                    break
+            else:
+                raise ValueError(f"no decodable audio in filelist (first failure: {path})")
         if wav.shape[0] < self.segment_size:
             wav = np.pad(wav, (0, self.segment_size - wav.shape[0]))
         start = int(start_frac * (wav.shape[0] - self.segment_size + 1))

@@ -15,6 +15,7 @@ _TENS = [
     "eighty", "ninety",
 ]
 _SCALES = [
+    (10 ** 18, "quintillion"), (10 ** 15, "quadrillion"),
     (10 ** 12, "trillion"), (10 ** 9, "billion"), (10 ** 6, "million"), (10 ** 3, "thousand"),
 ]
 
@@ -65,7 +66,13 @@ def number_to_words(n: int, zero: str = "zero", group: int = 0) -> str:
     for scale_value, scale_name in _SCALES:
         if n >= scale_value:
             count, n = divmod(n, scale_value)
-            parts.append(_under_1000(count) + " " + scale_name)
+            # recurse: the top-scale count can itself exceed 999 (e.g. a 22+
+            # digit number); _under_1000 alone would IndexError past 2e15-style
+            # inputs with counts >= 2000
+            parts.append(
+                (number_to_words(count) if count >= 1000 else _under_1000(count))
+                + " " + scale_name
+            )
     if n:
         parts.append(_under_1000(n))
     return ", ".join(parts)

@@ -43,24 +43,36 @@ def auto_g2p(text: str) -> List[str]:
     from stabletts_tpu.text.japanese import japanese_to_ipa2
     from stabletts_tpu.text.mandarin import chinese_to_cnm3
 
+    g2p = {
+        "zh": chinese_to_cnm3,
+        "ja": japanese_to_ipa2,
+        "en": english_to_ipa2,
+    }
+    matches = list(_SPAN.finditer(text))
+
+    def route_gap(gap: str, prev_lang, next_lang):
+        if not gap.strip():
+            return
+        # digits belong to the surrounding language — a '5' inside an English
+        # sentence must be verbalized in English, not read as Mandarin 'wu3'.
+        # The japanese g2p has no number verbalizer, so digit spans adjacent
+        # to kana route through chinese (kanji-numeral reading convention).
+        if re.search(r"[0-9]", gap):
+            lang = prev_lang or next_lang or "en"
+            if lang == "ja":
+                lang = "zh"
+            phones.extend(g2p[lang](gap))
+        else:
+            # bare punctuation: chinese normalization handles both CJK and
+            # ascii punctuation tables
+            phones.extend(chinese_to_cnm3(gap))
+
     phones: List[str] = []
     pos = 0
-    for m in _SPAN.finditer(text):
-        # leading non-language chars (punctuation): route via chinese
-        # normalization (handles CJK punctuation), dropping whitespace
-        gap = text[pos : m.start()]
-        if gap.strip():
-            phones.extend(chinese_to_cnm3(gap))
-        lang = m.lastgroup
-        span = m.group()
-        if lang == "zh":
-            phones.extend(chinese_to_cnm3(span))
-        elif lang == "ja":
-            phones.extend(japanese_to_ipa2(span))
-        else:
-            phones.extend(english_to_ipa2(span))
+    for i, m in enumerate(matches):
+        prev_lang = matches[i - 1].lastgroup if i else None
+        route_gap(text[pos : m.start()], prev_lang, m.lastgroup)
+        phones.extend(g2p[m.lastgroup](m.group()))
         pos = m.end()
-    tail = text[pos:]
-    if tail.strip():
-        phones.extend(chinese_to_cnm3(tail))
+    route_gap(text[pos:], matches[-1].lastgroup if matches else None, None)
     return phones

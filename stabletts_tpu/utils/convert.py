@@ -280,3 +280,15 @@ def torch_to_flax_ffgan(state_dict: Dict[str, np.ndarray]) -> dict:
 def torch_state_dict_to_numpy(state_dict) -> Dict[str, np.ndarray]:
     """Detach a torch state dict to float32 numpy (caller provides torch tensors)."""
     return {k: np.asarray(v.detach().cpu().numpy(), dtype=np.float32) for k, v in state_dict.items()}
+
+
+def load_torch_state_dict_numpy(path: str) -> Dict[str, np.ndarray]:
+    """torch .pt checkpoint -> float32 numpy state dict, unwrapping the
+    common {'state_dict': ...} container (shared by api._load_params and the
+    convert CLI so the loading conventions can't drift apart)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return torch_state_dict_to_numpy(sd)

@@ -100,21 +100,26 @@ def remove_newlines_after_punctuation(text: str) -> str:
 
 
 def plot_mel_png(mel: np.ndarray) -> bytes | None:
-    """Mel [n_mels, T] -> PNG bytes (reference: webui.py:40-46)."""
-    try:
-        import matplotlib
+    """Mel [n_mels, T] -> PNG bytes (reference: webui.py:40-46).
 
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
+    Uses the object-oriented matplotlib API only — no pyplot. pyplot's
+    figure registry is global mutable state, and this runs on
+    ThreadingHTTPServer worker threads outside the synthesis lock; two
+    concurrent requests through pyplot can corrupt or close each other's
+    figures."""
+    try:
+        from matplotlib.backends.backend_agg import FigureCanvasAgg
+        from matplotlib.figure import Figure
     except Exception:
         return None
-    fig, ax = plt.subplots(figsize=(20, 8))
+    fig = Figure(figsize=(20, 8))
+    FigureCanvasAgg(fig)
+    ax = fig.add_subplot()
     ax.imshow(mel, aspect="auto", origin="lower")
-    plt.axis("off")
+    ax.set_axis_off()
     fig.subplots_adjust(left=0, right=1, top=1, bottom=0)
     buf = io.BytesIO()
     fig.savefig(buf, format="png")
-    plt.close(fig)
     return buf.getvalue()
 
 

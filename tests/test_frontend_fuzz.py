@@ -76,3 +76,24 @@ def test_router_mixed_fuzz():
             warnings.simplefilter("ignore")
             phones = auto_g2p(text)
         assert isinstance(phones, list)
+
+
+def test_huge_numbers_do_not_crash():
+    # regression: >= 2e15 used to IndexError in _under_1000 (trillion counts
+    # over 999); the scale loop now recurses for oversized counts
+    from stabletts_tpu.text.numbers_en import normalize_numbers
+
+    assert normalize_numbers("2000000000000000") == "two quadrillion"
+    out = normalize_numbers("12345678901234567890123456789")  # 29 digits
+    assert out and "0" not in out
+
+
+def test_router_digits_follow_surrounding_language():
+    # regression: digit spans used to fall through to the Chinese g2p, reading
+    # '5' as Mandarin wu3 inside an English sentence
+    from stabletts_tpu.text.router import auto_g2p
+
+    phones = auto_g2p("I have 5 apples")
+    assert "w3" not in phones and "u3" not in phones
+    # 'five' in IPA contains 'f' followed by a vowel + 'v'
+    assert "f" in phones and "v" in phones

@@ -42,6 +42,24 @@ def _dwconv7(x, w, b):
     return acc + b[None, :]
 
 
+def _erf_poly(x):
+    """erf via Abramowitz & Stegun 7.1.26 (|err| <= 1.5e-7): Mosaic has no
+    erf/erfc lowering, so jax.nn.gelu(approximate=False) cannot compile
+    inside a TPU kernel; exp can."""
+    p = 0.3275911
+    a1, a2, a3, a4, a5 = 0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return jnp.sign(x) * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_kernel(y, approximate: bool):
+    if approximate:
+        return jax.nn.gelu(y, approximate=True)
+    return 0.5 * y * (1.0 + _erf_poly(y * 0.7071067811865476))
+
+
 def _block_kernel(x_ref, dww_ref, dwb_ref, lns_ref, lnb_ref,
                   w1_ref, b1_ref, w2_ref, b2_ref, g_ref, o_ref, *, eps: float,
                   approximate_gelu: bool):
@@ -55,7 +73,7 @@ def _block_kernel(x_ref, dww_ref, dwb_ref, lns_ref, lnb_ref,
     h = h.astype(x.dtype)
     y = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32)
     y = y + b1_ref[:].astype(jnp.float32)[None, :]
-    y = jax.nn.gelu(y, approximate=approximate_gelu).astype(x.dtype)
+    y = _gelu_kernel(y, approximate_gelu).astype(x.dtype)
     z = jnp.dot(y, w2_ref[:], preferred_element_type=jnp.float32)
     z = z + b2_ref[:].astype(jnp.float32)[None, :]
     z = z * g_ref[:].astype(jnp.float32)[None, :]

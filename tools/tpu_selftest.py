@@ -1,0 +1,186 @@
+"""Real-hardware kernel selftest: every Pallas TPU kernel vs its XLA oracle.
+
+The CI test suite forces CPU (tests/conftest.py) so Pallas kernels only ever
+run there in interpret mode; this script compiles and checks them on the
+actual chip. Run after any kernel change:
+
+    timeout 590 python tools/tpu_selftest.py
+
+Exit code 0 + "TPU SELFTEST OK" means every check passed on hardware.
+
+Tolerances are calibrated for on-chip f32 semantics: TPU f32 matmuls (in
+BOTH the XLA oracles and the Pallas kernels) run as bf16 MXU passes, so
+~3e-3 differences are expected numerics, not bugs. These checks catch
+SEMANTIC errors — wrong conv taps, mask handling, layouts, RoPE — which
+show up as O(1) errors; exact-math parity is covered by the CPU
+interpret-mode tests in tests/.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _report(name, max_err, tol, failures):
+    ok = max_err <= tol
+    print(f"  {name:38s} max_err={max_err:.3e}  tol={tol:.0e}  {'OK' if ok else 'FAIL'}")
+    if not ok:
+        failures.append(name)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} ({dev.device_kind})")
+    if dev.platform != "tpu":
+        print("not a TPU — nothing to selftest (CI covers interpret mode)")
+        return
+
+    failures = []
+    key = jax.random.PRNGKey(0)
+    ks = list(jax.random.split(key, 16))
+
+    # ---- fused packed-head attention vs XLA einsum ----
+    from stabletts_tpu.nn.blocks import masked_sdpa
+    from stabletts_tpu.ops.attention_pallas import fused_attention
+    from stabletts_tpu.ops.mask import attn_bias_from_mask
+
+    for t in (256, 1000, 1024):
+        b, h, d = 4, 4, 64
+        q = jax.random.normal(ks[0], (b, t, h, d), jnp.float32)
+        k = jax.random.normal(ks[1], (b, t, h, d), jnp.float32)
+        v = jax.random.normal(ks[2], (b, t, h, d), jnp.float32)
+        mask = (jnp.arange(t)[None, :] < jnp.asarray([t, t // 2, t // 3, 7])[:, None]).astype(
+            jnp.float32
+        )
+        ref = masked_sdpa(q, k, v, attn_bias_from_mask(mask, dtype=jnp.float32))
+        got = fused_attention(q, k, v, mask)
+        # padded-query rows are garbage by contract; compare valid rows only
+        m = np.asarray(mask)[:, :, None, None]
+        scale = float(jnp.abs(ref).max(where=m > 0, initial=0.0)) or 1.0
+        err = float(jnp.abs((got - ref)).max(where=m > 0, initial=0.0)) / scale
+        _report(f"fused_attention T={t} (rel)", err, 2e-2, failures)
+
+    # ---- differentiable train attention (values + grads, no dropout) ----
+    from stabletts_tpu.ops.attention_pallas_train import fused_attention_train
+
+    b, t, h, d = 4, 512, 4, 64
+    c = h * d
+    q = jax.random.normal(ks[3], (b, t, c), jnp.float32)
+    k = jax.random.normal(ks[4], (b, t, c), jnp.float32)
+    v = jax.random.normal(ks[5], (b, t, c), jnp.float32)
+    mask = (jnp.arange(t)[None, :] < jnp.asarray([t, 400, 300, 100])[:, None]).astype(jnp.float32)
+
+    def xla_loss(q_, k_, v_):
+        r = masked_sdpa(
+            q_.reshape(b, t, h, d), k_.reshape(b, t, h, d), v_.reshape(b, t, h, d),
+            attn_bias_from_mask(mask, dtype=jnp.float32),
+        ).reshape(b, t, c)
+        return jnp.sum((r * mask[..., None]) ** 2)
+
+    def pallas_loss(q_, k_, v_):
+        r = fused_attention_train(q_, k_, v_, mask, 0.0, None, n_heads=h)
+        return jnp.sum((r * mask[..., None]) ** 2)
+
+    g_ref = jax.grad(xla_loss, argnums=(0, 1, 2))(q, k, v)
+    g_got = jax.grad(pallas_loss, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", g_ref, g_got):
+        scale = float(jnp.abs(a).max()) or 1.0
+        err = float(jnp.abs(a - b_).max()) / scale
+        _report(f"train_attention grad d{name} (rel)", err, 2e-2, failures)
+
+    # ---- in-kernel dropout: mean preserved, fwd/bwd mask agreement ----
+    rngk = jax.random.PRNGKey(7)
+
+    def drop_loss(v_):
+        r = fused_attention_train(q, k, v_, mask, 0.5, rngk, n_heads=h)
+        return jnp.sum(r * mask[..., None])
+
+    val, gv = jax.value_and_grad(drop_loss)(v)
+    _report("dropout fwd finite", 0.0 if np.isfinite(float(val)) else 1.0, 0.5, failures)
+    _report(
+        "dropout bwd finite",
+        0.0 if bool(jnp.isfinite(gv).all()) else 1.0, 0.5, failures,
+    )
+
+    # ---- MAS pallas vs lax.scan wavefront ----
+    from stabletts_tpu.ops.mas import maximum_path
+    from stabletts_tpu.ops.mas_pallas import maximum_path_pallas
+
+    bb, ty, tx = 8, 300, 120
+    neg = jax.random.normal(ks[6], (bb, ty, tx), jnp.float32)
+    t_ys = jnp.asarray([300, 250, 123, 77, 300, 12, 299, 150], jnp.int32)
+    t_xs = jnp.asarray([120, 100, 120, 50, 1, 12, 64, 120], jnp.int32)
+    ymask = (jnp.arange(ty)[None, :] < t_ys[:, None]).astype(jnp.float32)
+    xmask = (jnp.arange(tx)[None, :] < t_xs[:, None]).astype(jnp.float32)
+    mask3 = ymask[:, :, None] * xmask[:, None, :]
+    p_scan = maximum_path(neg, mask3)
+    p_pallas = maximum_path_pallas(neg, mask3)
+    err = float(jnp.abs(p_scan - p_pallas).max())
+    _report("mas_pallas vs scan", err, 0.0, failures)
+
+    # ---- fused ConvNeXt vocoder vs plain apply ----
+    from stabletts_tpu.config import MelConfig, VocosConfig
+    from stabletts_tpu.models.vocos import Vocos, vocos_apply_fused
+
+    mel_cfg = MelConfig()
+    vocos = Vocos(VocosConfig(), mel_cfg)
+    mel = jax.random.normal(ks[7], (2, 200, mel_cfg.n_mels), jnp.float32)
+    vvars = vocos.init(jax.random.PRNGKey(3), jnp.zeros((1, 16, mel_cfg.n_mels)))
+    wav_ref = vocos.apply(vvars, mel)
+    wav_fused = vocos_apply_fused(vocos, vvars, mel)
+    scale = float(jnp.abs(wav_ref).max()) or 1.0
+    err = float(jnp.abs(wav_ref - wav_fused).max()) / scale
+    _report("vocos fused ConvNeXt (rel)", err, 2e-2, failures)
+
+    # ---- opt-in whole-half kernels vs the block's default path ----
+    from stabletts_tpu.models import build_stabletts, init_stabletts_params
+    from stabletts_tpu.models.sampler import synthesise
+
+    model = build_stabletts()
+    variables = init_stabletts_params(model, jax.random.PRNGKey(0))
+    bx = 2
+    x = jnp.asarray(np.random.default_rng(0).integers(1, 400, (bx, 48)), jnp.int32)
+    xl = jnp.full((bx,), 48, jnp.int32)
+    noise = jax.random.normal(ks[8], (bx, 512, mel_cfg.n_mels))
+    y_ref = jax.random.normal(ks[9], (bx, 200, mel_cfg.n_mels))
+    kw = dict(n_timesteps=2, max_mel_len=512)
+    base = synthesise(model, variables, x, xl, noise, y_ref, **kw)["decoder_outputs"]
+    rng_mel = float(jnp.abs(base).max()) or 1.0
+    for env, label in (("STABLETTS_DIT_FUSED", "fused DiT half"), ("STABLETTS_FFN_IMPL", "fused FFN half")):
+        os.environ[env] = "1" if env == "STABLETTS_DIT_FUSED" else "fused"
+        try:
+            synthesise.clear_cache()
+            alt = synthesise(model, variables, x, xl, noise, y_ref, **kw)["decoder_outputs"]
+            err = float(jnp.abs(base - alt).max()) / rng_mel
+            _report(f"{label} e2e (rel)", err, 5e-3, failures)
+        finally:
+            del os.environ[env]
+    synthesise.clear_cache()
+
+    # ---- matmul iDFT istft vs jnp.fft on-chip ----
+    from stabletts_tpu.ops.istft import istft_same, istft_same_real
+
+    n_fft, hop = 2048, 512
+    spec_r = jax.random.normal(ks[10], (2, 50, n_fft // 2 + 1), jnp.float32)
+    spec_i = jax.random.normal(ks[11], (2, 50, n_fft // 2 + 1), jnp.float32)
+    y_fft = istft_same(jax.lax.complex(spec_r, spec_i), n_fft, hop, n_fft)
+    y_mm = istft_same_real(spec_r, spec_i, n_fft, hop, n_fft)
+    scale = float(jnp.abs(y_fft).max()) or 1.0
+    err = float(jnp.abs(y_fft - y_mm).max()) / scale
+    _report("istft matmul vs irfft (rel)", err, 1e-4, failures)
+
+    if failures:
+        print(f"TPU SELFTEST FAILED: {failures}")
+        sys.exit(1)
+    print("TPU SELFTEST OK")
+
+
+if __name__ == "__main__":
+    main()

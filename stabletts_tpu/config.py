@@ -53,6 +53,11 @@ class ModelConfig:
     kernel_size: int = 3
     p_dropout: float = 0.1
     gin_channels: int = 256
+    # rematerialize each estimator block in backward (jax.checkpoint): trades
+    # ~1 extra forward of FLOPs for O(n_layers) less activation HBM — enables
+    # larger batches / longer sequences in training. No effect on inference
+    # or on the checkpoint tree. The reference has no such option.
+    remat: bool = False
 
 
 @dataclass(frozen=True)

@@ -27,6 +27,7 @@ def build_stabletts(model_cfg: ModelConfig | None = None, mel_cfg: MelConfig | N
         kernel_size=model_cfg.kernel_size,
         p_dropout=model_cfg.p_dropout,
         gin_channels=model_cfg.gin_channels,
+        remat=model_cfg.remat,
     )
 
 

@@ -56,6 +56,10 @@ class Decoder(nn.Module):
     kernel_size: int = 3
     gin_channels: int = 0
     use_lsc: bool = True
+    # rematerialize each DiT block in backward (training memory knob; see
+    # ModelConfig.remat). Param tree is unchanged, so checkpoints stay
+    # compatible either way.
+    remat: bool = False
 
     def setup(self):
         if self.use_lsc and self.n_layers % 2 != 0:
@@ -76,8 +80,10 @@ class Decoder(nn.Module):
             nn.Conv(self.hidden_channels, (self.kernel_size,), padding="SAME")
             for _ in range(n_lsc)
         ]
+        # static_argnums counts self at 0: deterministic is __call__ arg 5
+        block_cls = nn.remat(DitWrapper, static_argnums=(5,)) if self.remat else DitWrapper
         self.blocks = [
-            DitWrapper(
+            block_cls(
                 self.hidden_channels,
                 self.filter_channels,
                 self.n_heads,

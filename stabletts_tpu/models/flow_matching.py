@@ -27,6 +27,7 @@ class CFMDecoder(nn.Module):
     p_dropout: float
     gin_channels: int
     sigma_min: float = 1e-4
+    remat: bool = False
 
     def setup(self):
         self.estimator = Decoder(
@@ -40,6 +41,7 @@ class CFMDecoder(nn.Module):
             n_heads=self.n_heads,
             kernel_size=self.kernel_size,
             gin_channels=self.gin_channels,
+            remat=self.remat,
         )
 
     def __call__(self, t, x, mask, mu, c, deterministic: bool = True, mu_is_precomputed: bool = False):

@@ -45,6 +45,7 @@ class StableTTS(nn.Module):
     p_dropout: float = 0.1
     gin_channels: int = 256
     cfg_dropout: float = 0.2
+    remat: bool = False
 
     def setup(self):
         self.encoder = TextEncoder(
@@ -78,6 +79,7 @@ class StableTTS(nn.Module):
             self.kernel_size,
             self.p_dropout,
             self.gin_channels,
+            remat=self.remat,
         )
         # learned unconditional embeddings for CFG (model.py:43-46)
         self.fake_speaker = self.param("fake_speaker", nn.initializers.zeros, (1, self.gin_channels))

@@ -165,3 +165,32 @@ def test_checkpoint_resume(tmp_path):
         np.asarray(jax.tree_util.tree_leaves(p)[0]),
         np.asarray(jax.tree_util.tree_leaves(mutated)[0]),
     )
+
+
+def test_remat_matches_no_remat_exactly():
+    # ModelConfig.remat wraps each DiT block in jax.checkpoint: identical
+    # math and param tree (checkpoint-compatible), less activation memory
+    import dataclasses
+
+    from stabletts_tpu.train.state import TrainState
+
+    cfg = TrainConfig(learning_rate=1e-3, warmup_steps=2)
+    batch = jax.tree_util.tree_map(jnp.asarray, _tiny_batch())
+    rng = jax.random.PRNGKey(7)
+    results = []
+    for remat in (False, True):
+        model = build_stabletts(dataclasses.replace(TINY_MODEL, remat=remat), TINY_MEL)
+        variables = init_stabletts_params(model, jax.random.PRNGKey(0))
+        tx = make_optimizer(cfg, total_steps=100)
+        state = TrainState(0, variables["params"], tx.init(variables["params"]))
+        step_fn = jax.jit(make_train_step(model, tx))
+        state, metrics = step_fn(state, batch, rng)
+        state, metrics = step_fn(state, batch, rng)
+        results.append((variables["params"], float(metrics["loss"]), state.params))
+
+    (p0, l0, s0), (p1, l1, s1) = results
+    # identical param tree structure and init values
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s0), jax.tree_util.tree_leaves(s1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize estimator blocks (ModelConfig.remat)")
     args = ap.parse_args()
 
     import jax
@@ -30,14 +32,16 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from stabletts_tpu.config import MelConfig, TrainConfig
+    import dataclasses
+
+    from stabletts_tpu.config import MelConfig, ModelConfig, TrainConfig
     from stabletts_tpu.models import build_stabletts, init_stabletts_params
     from stabletts_tpu.train.state import TrainState
     from stabletts_tpu.train.train_tts import make_optimizer, make_train_step
 
     b, ty, tx = args.batch, args.mel_frames, args.text_len
     mel_cfg = MelConfig()
-    model = build_stabletts()
+    model = build_stabletts(dataclasses.replace(ModelConfig(), remat=args.remat))
     variables = init_stabletts_params(model, jax.random.PRNGKey(0))
     tx_opt = make_optimizer(TrainConfig(), total_steps=10000)
     state = TrainState(0, variables["params"], tx_opt.init(variables["params"]))

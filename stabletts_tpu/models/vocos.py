@@ -73,20 +73,49 @@ class ISTFTHead(nn.Module):
     dim: int
     n_fft: int
     hop_length: int
+    # inference-only flag set by vocos_apply_fused: the fused Pallas ISTFT
+    # has no VJP, so the default (training-safe) path must stay XLA — GAN
+    # training differentiates through this head
+    fused_istft: bool = False
 
     @nn.compact
     def __call__(self, x):
+        import os
+
         in_dtype = x.dtype
         x = nn.Dense(self.n_fft + 2, name="out")(x)  # [B, T, n_fft + 2]
         mag, p = jnp.split(x.astype(jnp.float32), 2, axis=-1)
         mag = jnp.exp(mag)
         mag = jnp.clip(mag, max=1e2)
-        # complex spectrum kept as (re, im): the iDFT runs as an MXU matmul
-        # (istft_same_real) — no complex dtype, no TPU FFT. exp/cos/sin stay
-        # f32; in bf16 mode only the iDFT matmul inputs are quantized.
+        # complex spectrum kept as (re, im): the iDFT runs as an MXU matmul —
+        # no complex dtype, no TPU FFT. exp/cos/sin stay f32; in bf16 mode
+        # only the iDFT matmul inputs are quantized.
+        re_s, im_s = mag * jnp.cos(p), mag * jnp.sin(p)
+        matmul_dtype = in_dtype if in_dtype != jnp.float32 else None
+
+        # TPU: the fused Pallas kernel keeps the [B, T, n_fft] frames in VMEM
+        # (one matmul + OLA + envelope per grid cell); the XLA path pays the
+        # frames' HBM round-trip and an OLA chain ~8x off bandwidth.
+        # Override via STABLETTS_ISTFT_IMPL={xla,fused}.
+        impl = os.environ.get("STABLETTS_ISTFT_IMPL", "auto")
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:
+            platform = "cpu"
+        use_fused = (
+            impl == "fused"
+            or (impl == "auto" and platform == "tpu" and self.fused_istft)
+        ) and self.n_fft % self.hop_length == 0
+        if use_fused:
+            from stabletts_tpu.ops.istft_pallas import istft_same_fused
+
+            return istft_same_fused(
+                re_s, im_s, self.n_fft, self.hop_length, self.n_fft,
+                matmul_dtype=matmul_dtype,
+            )
         return istft_same_real(
-            mag * jnp.cos(p), mag * jnp.sin(p), self.n_fft, self.hop_length, self.n_fft,
-            matmul_dtype=in_dtype if in_dtype != jnp.float32 else None,
+            re_s, im_s, self.n_fft, self.hop_length, self.n_fft,
+            matmul_dtype=matmul_dtype,
         )
 
 
@@ -120,8 +149,10 @@ def vocos_apply_fused(model: Vocos, variables, mel, interpret: bool = False):
 
     XLA lowers the k=7 depthwise conv to reshape/copy/reduce chains (~2.9 ms
     per forward at [32, 1000, 512] on v5e); the fused kernel runs it as 7
-    shifted VPU FMAs on the resident tile. Not differentiable — GAN training
-    uses model.apply.
+    shifted VPU FMAs on the resident tile. The ISTFT head also takes its
+    fused kernel here (iDFT matmul + overlap-add + envelope in one VMEM pass,
+    7.2 -> 4.6 ms at [32, 1000] bf16). Not differentiable — GAN training
+    uses model.apply, whose head stays on the XLA ISTFT.
     """
     from stabletts_tpu.ops.convnext_pallas import fused_convnext_block
 
@@ -157,5 +188,5 @@ def vocos_apply_fused(model: Vocos, variables, mel, interpret: bool = False):
         x = x[:, :t]
     x = ln.apply({"params": pb["final_layer_norm"]}, x)
 
-    head = ISTFTHead(cfg.dim, mel_cfg.n_fft, mel_cfg.hop_length)
+    head = ISTFTHead(cfg.dim, mel_cfg.n_fft, mel_cfg.hop_length, fused_istft=True)
     return head.apply({"params": p["head"]}, x)

@@ -26,12 +26,17 @@ def overlap_add(frames: jnp.ndarray, hop_length: int) -> jnp.ndarray:
     out_len = (t - 1) * hop_length + win
     if win % hop_length == 0:
         r = win // hop_length
-        # chunk j of frame i lands at sample (i + j) * hop .. (i + j + 1) * hop
+        # chunk j of frame i lands at sample (i + j) * hop .. (i + j + 1) * hop.
+        # Shift via pad + plain add (NOT at[].add): XLA fuses the pads into
+        # one elementwise loop over the output, where the in-place update
+        # chain compiled to a reshape/copy/slice-reduce sequence costing ~7x
+        # the bandwidth bound (profiled on v5e at [32, 1000, 2048]).
         chunks = frames.reshape(b, t, r, hop_length)
-        out = jnp.zeros((b, out_len), dtype=frames.dtype)
+        out = None
         for j in range(r):
             sig = chunks[:, :, j, :].reshape(b, t * hop_length)
-            out = out.at[:, j * hop_length : j * hop_length + t * hop_length].add(sig)
+            padded = jnp.pad(sig, ((0, 0), (j * hop_length, out_len - t * hop_length - j * hop_length)))
+            out = padded if out is None else out + padded
         return out
     # general case: scatter-add
     idx = (jnp.arange(t) * hop_length)[:, None] + jnp.arange(win)[None, :]

@@ -89,3 +89,26 @@ def test_stft_istft_roundtrip():
     # interior matches well; edges affected by reflect-pad
     sl = slice(2 * hop, -2 * hop)
     np.testing.assert_allclose(y[:, sl], x[:, sl], rtol=1e-3, atol=1e-3)
+
+
+def test_istft_fused_matches_xla_path():
+    # fused Pallas kernel (interpret mode on CPU) vs the XLA istft_same_real
+    from stabletts_tpu.ops.istft import istft_same_real
+    from stabletts_tpu.ops.istft_pallas import istft_same_fused
+
+    rng = np.random.default_rng(0)
+    for t in (7, 16, 50):  # includes a non-multiple-of-8 frame count
+        re = jnp.asarray(rng.standard_normal((2, t, 1025)), jnp.float32)
+        im = jnp.asarray(rng.standard_normal((2, t, 1025)), jnp.float32)
+        ref = istft_same_real(re, im, 2048, 512, 2048)
+        got = istft_same_fused(re, im, 2048, 512, 2048, interpret=True)
+        assert got.shape == ref.shape == (2, t * 512)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_istft_fused_rejects_bad_config():
+    from stabletts_tpu.ops.istft_pallas import istft_same_fused
+
+    re = jnp.zeros((1, 8, 9))
+    with pytest.raises(ValueError):
+        istft_same_fused(re, re, 16, 5, 16, interpret=True)

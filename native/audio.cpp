@@ -51,10 +51,29 @@ bool parse_wav(const char* path, WavData* out) {
       if (format == 0xFFFE && size >= 40) std::memcpy(&format, buf + 24, 2);
       got_fmt = true;
     } else if (std::memcmp(id, "data", 4) == 0 && got_fmt) {
+      // validate the fmt fields before any arithmetic: a malformed header
+      // with channels==0 or bits<8 would otherwise divide by zero (SIGFPE
+      // kills the process, bypassing the Python-side failure fallback)
+      if (channels == 0 || (bits != 8 && bits != 16 && bits != 24 && bits != 32)) {
+        std::fclose(f);
+        return false;
+      }
+      // clamp a corrupt chunk size to the bytes actually left in the file so
+      // `raw(size)` can't throw bad_alloc through the extern-C boundary
+      const long data_pos = std::ftell(f);
+      std::fseek(f, 0, SEEK_END);
+      const long file_end = std::ftell(f);
+      std::fseek(f, data_pos, SEEK_SET);
+      if (data_pos < 0 || file_end < data_pos) {
+        std::fclose(f);
+        return false;
+      }
+      const uint64_t avail = static_cast<uint64_t>(file_end - data_pos);
+      const uint64_t data_size = size < avail ? size : avail;
       const uint32_t bytes_per = bits / 8;
-      const uint64_t n_frames = size / (bytes_per * channels);
-      std::vector<uint8_t> raw(size);
-      if (std::fread(raw.data(), 1, size, f) != size) break;
+      const uint64_t n_frames = data_size / (bytes_per * channels);
+      std::vector<uint8_t> raw(n_frames * bytes_per * channels);
+      if (std::fread(raw.data(), 1, raw.size(), f) != raw.size()) break;
       out->samples.resize(n_frames);
       out->sample_rate = static_cast<int>(sample_rate);
       const uint8_t* p = raw.data();
@@ -65,7 +84,12 @@ bool parse_wav(const char* path, WavData* out) {
           std::memcpy(&s, p, 2);
           v = s / 32768.0f;
         } else if (format == 1 && bits == 24) {
-          int32_t s = (p[0] << 8) | (p[1] << 16) | (p[2] << 24);
+          // assemble in unsigned then convert: `p[2] << 24` on a promoted int
+          // is signed-overflow UB whenever the sample is negative
+          const uint32_t u = (static_cast<uint32_t>(p[0]) << 8) |
+                             (static_cast<uint32_t>(p[1]) << 16) |
+                             (static_cast<uint32_t>(p[2]) << 24);
+          const int32_t s = static_cast<int32_t>(u);
           v = (s >> 8) / 8388608.0f;
         } else if (format == 1 && bits == 32) {
           int32_t s;

@@ -19,6 +19,10 @@ namespace {
 constexpr float kMaxNeg = -1e9f;
 
 void mas_single(int32_t* path, float* value, int t_y, int t_x, int t_x_max) {
+  // degenerate lengths: t_x==0 would write path[-1] (heap corruption) and
+  // an empty t_y has nothing to do — leave the zeroed path untouched
+  if (t_y <= 0 || t_x <= 0) return;
+  t_x = std::min(t_x, t_x_max);
   // forward: value[y, x] += max(value[y-1, x-1], value[y-1, x]) within band
   for (int y = 0; y < t_y; ++y) {
     const int x_lo = std::max(0, t_x + y - t_y);
@@ -36,11 +40,13 @@ void mas_single(int32_t* path, float* value, int t_y, int t_x, int t_x_max) {
       row[x] += std::max(v_prev, v_cur);
     }
   }
-  // backtrace
+  // backtrace. The y==0 index update is skipped: it would read row -1 (the
+  // python reference wraps to the last row there, C would read out of
+  // bounds) and the updated index is never used after the final write.
   int index = t_x - 1;
   for (int y = t_y - 1; y >= 0; --y) {
     path[static_cast<int64_t>(y) * t_x_max + index] = 1;
-    if (index != 0) {
+    if (index != 0 && y > 0) {
       const float* prev = value + static_cast<int64_t>(y - 1) * t_x_max;
       if (index == y || prev[index] < prev[index - 1]) {
         --index;

@@ -103,9 +103,10 @@ class ISTFTHead(nn.Module):
         except Exception:
             platform = "cpu"
         use_fused = (
-            impl == "fused"
-            or (impl == "auto" and platform == "tpu" and self.fused_istft)
-        ) and self.n_fft % self.hop_length == 0
+            platform == "tpu"  # no interpret fallback in this dispatch
+            and self.n_fft % self.hop_length == 0
+            and (impl == "fused" or (impl == "auto" and self.fused_istft))
+        )
         if use_fused:
             from stabletts_tpu.ops.istft_pallas import istft_same_fused
 

@@ -111,17 +111,25 @@ def maximum_path_native(
     return paths
 
 
-def load_wav_native(path: str, target_sr: int, max_seconds: float = 600.0):
-    """Returns (waveform float32, source_sr) or None if unavailable/failed."""
+def load_wav_native(path: str, target_sr: int):
+    """Returns (waveform float32, source_sr) or None if unavailable/failed.
+
+    Two-phase: stabletts_wav_length gives the exact post-resample length, so
+    the output buffer is sized to the file (no fixed-cap over-allocation, no
+    silent truncation of long recordings)."""
     lib = get_lib()
     if lib is None:
         return None
-    max_len = int(max_seconds * target_sr)
-    out = np.empty(max_len, dtype=np.float32)
+    n_expect = int(lib.stabletts_wav_length(path.encode(), target_sr))
+    if n_expect <= 0:
+        return None
+    # +8: the resampler's int64(n * ratio) and the length query round
+    # identically, but keep a tiny margin against future drift
+    out = np.empty(n_expect + 8, dtype=np.float32)
     src_sr = ctypes.c_int(0)
     n = lib.stabletts_load_wav(
         path.encode(), target_sr, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        max_len, ctypes.byref(src_sr),
+        out.shape[0], ctypes.byref(src_sr),
     )
     if n <= 0:
         return None

@@ -15,11 +15,19 @@ k-tap convs are nn.Conv with SAME padding.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
 
 
 def rope_cache(seq_len: int, rotary_dim: int, base: float = 10_000.0, dtype=jnp.float32):
@@ -134,7 +142,11 @@ class MultiHeadAttention(nn.Module):
         q = apply_rope(q, rotary_dim)
         k = apply_rope(k, rotary_dim)
 
-        if deterministic or self.p_dropout == 0.0:
+        if deterministic:
+            # inference: the fast fused kernel (no VJP — must not be reached
+            # by a training/backward trace, so the gate is `deterministic`,
+            # NOT `p_dropout == 0`: training with p_dropout=0.0 still needs
+            # a differentiable path)
             out = masked_attention(q, k, v, mask=mask)
         else:
             from stabletts_tpu.ops.attention import _resolve_impl
@@ -147,7 +159,7 @@ class MultiHeadAttention(nn.Module):
                     fused_attention_train,
                 )
 
-                rng = self.make_rng("dropout")
+                rng = self.make_rng("dropout") if self.p_dropout > 0.0 else None
                 out = fused_attention_train(
                     q.reshape(b, t, self.channels),
                     k.reshape(b, t, self.channels),
@@ -276,8 +288,6 @@ class DiTConVBlock(nn.Module):
             self.hidden_channels, self.filter_channels, self.kernel_size, self.p_dropout, name="mlp"
         )
 
-        import os
-
         # Whole-half fusion measured NEUTRAL end-to-end on v5e (2940 vs 2952
         # audio-s/s): the per-batch-element qkv matmuls ([1024,256]x[256,256]
         # per grid cell) lose what the removed layout copies gain vs XLA's
@@ -287,6 +297,7 @@ class DiTConVBlock(nn.Module):
         # remains the measured-best default.
         fuse_halves = (
             os.environ.get("STABLETTS_DIT_FUSED") == "1"
+            and _on_tpu()  # the kernel has no interpret fallback here
             and deterministic
             and x.shape[1] % 8 == 0
             and not self.is_initializing()
@@ -304,14 +315,13 @@ class DiTConVBlock(nn.Module):
                 _modulate(norm1(x), shift_msa, scale_msa), mask, deterministic
             ) * m
 
-        import os
-
         # Measured on v5e at [32, 1024, 256->1024] bf16: the fused FFN kernel
         # is only ~3% faster than XLA's conv path in isolation (0.90 vs 0.93
         # ms) and NEUTRAL end-to-end (the XLA convs are already well fused) —
         # so it stays opt-in rather than default, unlike the attention kernel.
         if (
             os.environ.get("STABLETTS_FFN_IMPL") == "fused"
+            and _on_tpu()  # the kernel has no interpret fallback here
             and deterministic
             and x.shape[1] % 8 == 0
             and self.kernel_size == 3  # the fused kernel hard-codes 3 taps

@@ -46,10 +46,10 @@ def test_fused_ffn_matches_oracle():
 
 
 def test_dit_block_fused_env_flag(monkeypatch):
-    """DiTConVBlock produces identical output with STABLETTS_FFN_IMPL=fused
-    (interpret-mode pallas under the hood on CPU is not available, so this
-    exercises the dispatch guard falls through on non-TPU... it must NOT
-    crash and must match the XLA path when the guard rejects)."""
+    """With STABLETTS_FFN_IMPL=fused / STABLETTS_DIT_FUSED=1 set on a non-TPU
+    platform, the dispatch guard must reject the fused kernels (they have no
+    interpret fallback in the block) and produce the identical XLA result —
+    i.e. a CPU run with the env vars exported must not crash."""
     from stabletts_tpu.nn.blocks import DiTConVBlock
 
     blk = DiTConVBlock(hidden_channels=32, filter_channels=64, num_heads=2, gin_channels=16)
@@ -58,11 +58,34 @@ def test_dit_block_fused_env_flag(monkeypatch):
     mask = jnp.ones((2, 24))
     v = blk.init(jax.random.PRNGKey(2), x, c, mask)
     base = blk.apply(v, x, c, mask, True)
+    # env vars ACTIVE during apply: the platform gate (not the env var) must
+    # keep CPU on the XLA path
     monkeypatch.setenv("STABLETTS_FFN_IMPL", "fused")
-    # on CPU the pallas call would fail if dispatched; the guard env flag is
-    # read at trace time — re-apply and confirm output identical (CPU falls
-    # into the fused branch only on TPU platforms... the env flag alone
-    # enables it, so here we just check the XLA path result is stable)
-    monkeypatch.delenv("STABLETTS_FFN_IMPL")
+    monkeypatch.setenv("STABLETTS_DIT_FUSED", "1")
     again = blk.apply(v, x, c, mask, True)
     np.testing.assert_allclose(np.asarray(base), np.asarray(again), atol=0)
+
+
+def test_train_attention_p_dropout_zero_is_differentiable():
+    """Training (deterministic=False) with p_dropout=0.0 must take a
+    differentiable attention path — the inference Pallas kernel has no VJP."""
+    from stabletts_tpu.nn.blocks import DiTConVBlock
+
+    blk = DiTConVBlock(
+        hidden_channels=32, filter_channels=64, num_heads=2, gin_channels=16,
+        p_dropout=0.0,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 24, 32))
+    c = jax.random.normal(jax.random.PRNGKey(1), (2, 16))
+    mask = jnp.ones((2, 24))
+    v = blk.init(jax.random.PRNGKey(2), x, c, mask)
+
+    def loss(params):
+        out = blk.apply(
+            {"params": params}, x, c, mask, False,
+            rngs={"dropout": jax.random.PRNGKey(3)},
+        )
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    assert all(bool(jnp.isfinite(t).all()) for t in jax.tree_util.tree_leaves(g))

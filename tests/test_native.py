@@ -91,3 +91,41 @@ def test_native_float32_and_pcm24(tmp_path):
     out = load_wav_native(str(path), sr)
     assert out is not None
     np.testing.assert_allclose(out[0], data, atol=1e-6)
+
+
+def test_native_mas_degenerate_lengths():
+    # t_x == 0 (fully padded item) used to write path[-1] (heap corruption);
+    # t_x > t_y used to read DP row -1 out of bounds
+    from stabletts_tpu.native import maximum_path_native
+
+    rng = np.random.default_rng(0)
+    neg = rng.standard_normal((3, 6, 8)).astype(np.float32)
+    t_ys = np.asarray([6, 6, 4], np.int32)
+    t_xs = np.asarray([0, 8, 8], np.int32)  # zero-length and t_x > t_y items
+    path = maximum_path_native(neg, t_ys, t_xs)
+    if path is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    assert path.shape == (3, 6, 8)
+    # the zero-length item's plane stays all-zero, nothing corrupted
+    assert path[0].sum() == 0
+    assert np.isfinite(path).all()
+
+
+def test_native_wav_rejects_malformed_header(tmp_path):
+    # channels=0 in the fmt chunk used to SIGFPE the whole process
+    import struct
+
+    bad = tmp_path / "bad.wav"
+    fmt = struct.pack("<HHIIHH", 1, 0, 44100, 0, 0, 16)  # channels == 0
+    data = b"\x00" * 64
+    payload = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    bad.write_bytes(b"RIFF" + struct.pack("<I", len(payload)) + payload)
+    from stabletts_tpu.native import load_wav_native
+
+    assert load_wav_native(str(bad), 44100) is None

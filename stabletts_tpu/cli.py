@@ -31,7 +31,7 @@ def cmd_preprocess(args):
 
 
 def cmd_train(args):
-    from stabletts_tpu.config import TrainConfig
+    from stabletts_tpu.config import ModelConfig, TrainConfig
     from stabletts_tpu.train.train_tts import train
 
     cfg = TrainConfig()
@@ -42,12 +42,14 @@ def cmd_train(args):
         num_epochs=args.epochs or cfg.num_epochs,
         model_save_path=args.save_path or cfg.model_save_path,
         learning_rate=args.lr or cfg.learning_rate,
+        compute_dtype=args.compute_dtype or cfg.compute_dtype,
     )
+    model_cfg = dataclasses.replace(ModelConfig(), remat=args.remat)
 
     def log_fn(step, metrics):
         print(json.dumps({"step": step, **{k: float(v) for k, v in metrics.items()}}))
 
-    train(cfg, log_fn=log_fn)
+    train(cfg, model_cfg, log_fn=log_fn)
 
 
 def cmd_train_vocos(args):
@@ -134,6 +136,10 @@ def main(argv=None):
     pt.add_argument("--epochs", type=int)
     pt.add_argument("--save-path")
     pt.add_argument("--lr", type=float)
+    pt.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
+                    help="bf16 compute vs f32 master params (default f32, like the reference)")
+    pt.add_argument("--remat", action="store_true",
+                    help="rematerialize estimator blocks: ~1.64x step time for much less activation HBM")
     pt.set_defaults(fn=cmd_train)
 
     pv = sub.add_parser("train-vocos", help="train the Vocos GAN vocoder")

@@ -57,3 +57,23 @@ def test_masked_attention_fused_impl_dispatch():
     ref = masked_attention(q, k, v, mask=mask, impl="xla")
     out = fused_attention(q, k, v, mask, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_rope_matmul_formulation_bit_exact():
+    # the packed signed-permutation RoPE must equal apply_rope EXACTLY in
+    # every dtype (each output column of P is +/- one input column)
+    from stabletts_tpu.nn.blocks import (
+        _rope_neg_half_matrix,
+        _rope_packed_cache,
+        apply_rope,
+    )
+
+    b, t, h, d = 2, 24, 4, 64
+    rot = d // 2
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = _rand((b, t, h * d), 0, dtype)
+        ref = apply_rope(x.reshape(b, t, h, d), rot).reshape(b, t, h * d)
+        cosv, sinv = _rope_packed_cache(t, h, d, rot, dtype)
+        perm = _rope_neg_half_matrix(h, d, rot).astype(dtype)
+        got = x * cosv[None] + (x @ perm) * sinv[None]
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

@@ -28,6 +28,24 @@ from stabletts_tpu.text.mandarin import chinese_to_cnm3
 from stabletts_tpu.utils.audio_io import load_and_resample_audio
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache for serving cold starts: the first
+    synthesise compile takes 15-160 s on the tunneled TPU compile service;
+    cache hits skip it across process restarts. No-op if already set or
+    unsupported. Opt out with STABLETTS_NO_COMPILE_CACHE=1."""
+    if os.environ.get("STABLETTS_NO_COMPILE_CACHE") == "1":
+        return
+    try:
+        if jax.config.jax_compilation_cache_dir:
+            return
+        cache_dir = os.path.expanduser("~/.cache/stabletts_jax_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def _load_params(path: str, template, torch_converter):
     """Load params from an orbax dir or a torch .pt state dict."""
     if os.path.isdir(path):
@@ -75,6 +93,7 @@ class StableTTSAPI:
         """Configs default to the reference's flagship (31M) settings; pass
         custom ones for smaller/larger models (the reference hard-codes its
         configs in config.py — this is an intentional extension)."""
+        _enable_compilation_cache()
         self.mel_config = mel_config or MelConfig()
         self.tts_model_config = model_config or ModelConfig()
         self._vocos_config = vocos_config or VocosConfig()

@@ -190,9 +190,9 @@ class MultiHeadAttention(nn.Module):
             # a differentiable path)
             out = masked_attention(q, k, v, mask=mask)
         else:
-            from stabletts_tpu.ops.attention import _resolve_impl
+            from stabletts_tpu.ops.attention import resolve_impl
 
-            if _resolve_impl(None, t) == "fused":
+            if resolve_impl(None, t) == "fused":
                 # fused differentiable kernel with in-kernel dropout
                 # (ops/attention_pallas_train.py) — the XLA path below
                 # materializes [B,H,T,T] weights in HBM fwd AND bwd

@@ -40,7 +40,7 @@ def set_default_impl(impl: str) -> None:
     _DEFAULT_IMPL = impl
 
 
-def _resolve_impl(impl: Optional[str], seq_len: int) -> str:
+def resolve_impl(impl: Optional[str], seq_len: int) -> str:
     impl = impl or _DEFAULT_IMPL
     if impl != "auto":
         return impl
@@ -55,6 +55,10 @@ def _resolve_impl(impl: Optional[str], seq_len: int) -> str:
     except Exception:
         platform = "cpu"
     return "fused" if platform == "tpu" and seq_len >= _FUSED_MIN_T else "xla"
+
+
+# back-compat private alias
+_resolve_impl = resolve_impl
 
 
 def _xla_attention(q, k, v, bias):
@@ -121,7 +125,7 @@ def masked_attention(
     Provide either `mask` ([B, T] validity — used by both paths) or a full
     additive `bias` ([B, 1, Tq, Tk] — forces the XLA path).
     """
-    resolved = _resolve_impl(impl, q.shape[1])
+    resolved = resolve_impl(impl, q.shape[1])
     if resolved == "fused" and bias is None and q.shape[1] == k.shape[1]:
         from stabletts_tpu.ops.attention_pallas import fused_attention
 

@@ -51,8 +51,10 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
     # one PRNG stream per (batch, q-block) grid cell; heads consume bits in a
     # fixed order so the backward kernel regenerates identical masks
     if rate > 0.0:
+        # multi-operand seeding mixes (base seed, cell) properly — integer
+        # affine mixing allows cross-layer stream collisions
         cell = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-        pltpu.prng_seed(seed_ref[0] * jnp.int32(1103515245) + cell)
+        pltpu.prng_seed(seed_ref[0], cell)
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
@@ -80,7 +82,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
                 scale: float, n_heads: int, head_dim: int, rate: float):
     if rate > 0.0:
         cell = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-        pltpu.prng_seed(seed_ref[0] * jnp.int32(1103515245) + cell)
+        pltpu.prng_seed(seed_ref[0], cell)
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -93,13 +95,16 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     bias = bias_ref[0]
     do = do_ref[0]
     dqs, dks, dvs = [], [], []
+    in_dtype = q.dtype
     for h in range(n_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        qh = q[:, sl].astype(jnp.float32)
-        kh = k[:, sl].astype(jnp.float32)
-        vh = v[:, sl].astype(jnp.float32)
-        doh = do[:, sl].astype(jnp.float32)
-        # recompute p (must mirror the forward's op order & PRNG consumption)
+        qh = q[:, sl]
+        kh = k[:, sl]
+        vh = v[:, sl]
+        doh = do[:, sl]
+        # recompute p on the NATIVE dtype exactly like the forward: an f32
+        # upcast here would regenerate a slightly different softmax than the
+        # one the primal output used (and cost ~4x MXU time under bf16)
         s = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale + bias
@@ -113,9 +118,11 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
         else:
             keep = None
             pd = p
-        # dV_h = pd^T @ dO
+        # dV_h = pd^T @ dO — matmul operands in the native dtype (standard
+        # mixed precision: bf16 inputs, f32 accumulation), softmax math f32
         dvs.append(jax.lax.dot_general(
-            pd, doh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            pd.astype(in_dtype), doh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         ))
         # dPd = dO @ V^T ; back through dropout ; back through softmax
         dpd = jax.lax.dot_general(
@@ -123,15 +130,18 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
         )
         dp = dpd * keep if rate > 0.0 else dpd
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = ds.astype(in_dtype)
         # dQ_h = ds @ K * scale ; dK_h = ds^T @ Q * scale
         dqs.append(jnp.dot(ds, kh, preferred_element_type=jnp.float32) * scale)
         dks.append(jax.lax.dot_general(
             ds, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale)
     dq_ref[0] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
-    # dK/dV accumulate across q-blocks into the revisited [T_pad, C] block
-    dk_ref[0] += jnp.concatenate(dks, axis=-1).astype(dk_ref.dtype)
-    dv_ref[0] += jnp.concatenate(dvs, axis=-1).astype(dv_ref.dtype)
+    # dK/dV accumulate across q-blocks into the revisited [T_pad, C] block —
+    # the block dtype is f32 regardless of input dtype so bf16 training does
+    # not compound rounding on every partial accumulation
+    dk_ref[0] += jnp.concatenate(dks, axis=-1)
+    dv_ref[0] += jnp.concatenate(dvs, axis=-1)
 
 
 def _specs(blk_q, t_pad, c):
@@ -188,8 +198,9 @@ def _attention_bwd(rate, n_heads, blk_q, interpret, res, do):
         out_specs=(qspec, kvspec, kvspec),
         out_shape=(
             jax.ShapeDtypeStruct((b, t_pad, c), q.dtype),
-            jax.ShapeDtypeStruct((b, t_pad, c), k.dtype),
-            jax.ShapeDtypeStruct((b, t_pad, c), v.dtype),
+            # f32 accumulators (cast back to the input dtype below)
+            jax.ShapeDtypeStruct((b, t_pad, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, t_pad, c), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -200,7 +211,7 @@ def _attention_bwd(rate, n_heads, blk_q, interpret, res, do):
         ),
         interpret=interpret,
     )(seed, q, k, v, kbias, do)
-    return dq, dk, dv, None, None
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype), None, None
 
 
 _attention_core.defvjp(_attention_fwd, _attention_bwd)
@@ -216,6 +227,16 @@ def fused_attention_train(q, k, v, mask=None, dropout_rate: float = 0.0,
     backward pass from a scalar seed derived from it.
     """
     b, t, c = q.shape
+    if blk_q < 128:
+        raise ValueError(f"blk_q must be >= 128 (the lane-tile minimum), got {blk_q}")
+    if c % n_heads != 0:
+        raise ValueError(f"channels {c} not divisible by n_heads {n_heads}")
+    # minimal-padding block selection (same rule as attention_pallas.py):
+    # pad only to the 128 lane multiple, never to a larger block boundary —
+    # at bucket lengths 300/600/800 a fixed 256 block wastes up to 1.78x of
+    # the score-matrix FLOPs in BOTH directions
+    t128 = -(-t // 128) * 128
+    blk_q = next(cand for cand in (blk_q, 512, 256, 128) if cand <= blk_q and t128 % cand == 0)
     t_pad = -(-t // blk_q) * blk_q
     if t_pad != t:
         pad = ((0, 0), (0, t_pad - t), (0, 0))

@@ -18,11 +18,13 @@ namespace {
 
 constexpr float kMaxNeg = -1e9f;
 
-void mas_single(int32_t* path, float* value, int t_y, int t_x, int t_x_max) {
+void mas_single(int32_t* path, float* value, int t_y, int t_x, int t_y_max,
+                int t_x_max) {
   // degenerate lengths: t_x==0 would write path[-1] (heap corruption) and
   // an empty t_y has nothing to do — leave the zeroed path untouched
   if (t_y <= 0 || t_x <= 0) return;
   t_x = std::min(t_x, t_x_max);
+  t_y = std::min(t_y, t_y_max);
   // forward: value[y, x] += max(value[y-1, x-1], value[y-1, x]) within band
   for (int y = 0; y < t_y; ++y) {
     const int x_lo = std::max(0, t_x + y - t_y);
@@ -68,7 +70,8 @@ void stabletts_maximum_path(int32_t* paths, float* values, const int32_t* t_ys,
   const int64_t plane = static_cast<int64_t>(t_y_max) * t_x_max;
   if (n_threads <= 1 || b == 1) {
     for (int i = 0; i < b; ++i) {
-      mas_single(paths + i * plane, values + i * plane, t_ys[i], t_xs[i], t_x_max);
+      mas_single(paths + i * plane, values + i * plane, t_ys[i], t_xs[i],
+                 t_y_max, t_x_max);
     }
     return;
   }
@@ -76,7 +79,8 @@ void stabletts_maximum_path(int32_t* paths, float* values, const int32_t* t_ys,
   std::atomic_int next{0};
   auto run = [&]() {
     for (int i = next.fetch_add(1); i < b; i = next.fetch_add(1)) {
-      mas_single(paths + i * plane, values + i * plane, t_ys[i], t_xs[i], t_x_max);
+      mas_single(paths + i * plane, values + i * plane, t_ys[i], t_xs[i],
+                 t_y_max, t_x_max);
     }
   };
   const int n = std::min(n_threads, b);

@@ -8,8 +8,12 @@ load; requires torch).
 
 from __future__ import annotations
 
+import logging
 import os
-from typing import Optional, Tuple
+import time
+from typing import Optional, Sequence, Tuple
+
+logger = logging.getLogger("stabletts.api")
 
 import jax
 import jax.numpy as jnp
@@ -89,10 +93,17 @@ class StableTTSAPI:
         mel_config: Optional[MelConfig] = None,
         vocos_config: Optional[VocosConfig] = None,
         max_mel_len: int = 1024,
+        warmup_lengths: Optional[Sequence[int]] = None,
     ):
         """Configs default to the reference's flagship (31M) settings; pass
         custom ones for smaller/larger models (the reference hard-codes its
-        configs in config.py — this is an intentional extension)."""
+        configs in config.py — this is an intentional extension).
+
+        warmup_lengths: serving shape ladder, e.g. (1024, 2048). When set,
+        text/reference shapes are quantized to fixed buckets and warmup()
+        pre-compiles synthesise at each mel cap, so long requests that regrow
+        past max_mel_len (or requests with new text lengths) hit a warm
+        compile cache instead of stalling 15-160 s at request time."""
         _enable_compilation_cache()
         self.mel_config = mel_config or MelConfig()
         self.tts_model_config = model_config or ModelConfig()
@@ -118,6 +129,9 @@ class StableTTSAPI:
             self.vocoder_variables = self.vocoder_model.init(
                 jax.random.PRNGKey(1), jnp.zeros((1, 8, self.mel_config.n_mels))
             )
+        # _vocoder_apply(variables, mel, lengths): lengths enables the
+        # fixed-shape serving mode (Vocos only — ffgan callers trim instead)
+        self._vocoder_supports_lengths = isinstance(self.vocoder_model, Vocos)
         if (
             isinstance(self.vocoder_model, Vocos)
             and jax.devices()[0].platform == "tpu"
@@ -125,10 +139,18 @@ class StableTTSAPI:
             from stabletts_tpu.models.vocos import vocos_apply_fused
 
             self._vocoder_apply = jax.jit(
-                lambda v, m: vocos_apply_fused(self.vocoder_model, v, m)
+                lambda v, m, lens=None: vocos_apply_fused(
+                    self.vocoder_model, v, m, lengths=lens
+                )
+            )
+        elif isinstance(self.vocoder_model, Vocos):
+            self._vocoder_apply = jax.jit(
+                lambda v, m, lens=None: self.vocoder_model.apply(v, m, lens)
             )
         else:
-            self._vocoder_apply = jax.jit(self.vocoder_model.apply)
+            self._vocoder_apply = jax.jit(
+                lambda v, m, lens=None: self.vocoder_model.apply(v, m)
+            )
 
         self.g2p_mapping = {
             "chinese": chinese_to_cnm3,
@@ -136,6 +158,86 @@ class StableTTSAPI:
             "english": english_to_ipa2,
         }
         self.supported_languages = self.g2p_mapping.keys()
+
+        self._shape_ladder = warmup_lengths is not None
+        self._compiled_keys: set = set()
+        if warmup_lengths:
+            self.warmup(tuple(warmup_lengths))
+
+    # --- serving shape ladder -------------------------------------------
+    # Every distinct (text_len, ref_len, mel_cap) triple is a fresh XLA
+    # compile (15-160 s through the tunneled compile service). Quantizing
+    # text to 64-id and reference mels to 512-frame buckets collapses the
+    # request space onto a small grid that warmup() can pre-compile; masks
+    # (x_lengths / y_ref_mask) keep the computation exact on the padding.
+    _TEXT_BUCKET = 64
+    _REF_BUCKET = 512
+
+    @staticmethod
+    def _round_up(n: int, m: int) -> int:
+        return max(m, -(-n // m) * m)
+
+    def _bucket_text(self, ids: list) -> tuple:
+        if not self._shape_ladder:
+            return ids, len(ids)
+        padded = ids + [0] * (self._round_up(len(ids), self._TEXT_BUCKET) - len(ids))
+        return padded, len(ids)
+
+    def _bucket_ref(self, ref_mel: jnp.ndarray):
+        """[1, Tref, n_mels] -> (padded mel, mask or None)."""
+        if not self._shape_ladder:
+            return ref_mel, None
+        t = ref_mel.shape[1]
+        t_pad = self._round_up(t, self._REF_BUCKET)
+        if t_pad != t:
+            ref_mel = jnp.pad(ref_mel, ((0, 0), (0, t_pad - t), (0, 0)))
+        mask = (jnp.arange(t_pad)[None, :] < t).astype(jnp.float32)
+        return ref_mel, mask
+
+    def _log_compile_key(self, key: tuple, kind: str) -> None:
+        if key not in self._compiled_keys:
+            self._compiled_keys.add(key)
+            logger.info("%s: new jit shape key %s (may compile)", kind, key)
+
+    def warmup(
+        self,
+        lengths: Sequence[int] = (1024, 2048),
+        text_buckets: Sequence[int] = (64, 128),
+        ref_buckets: Sequence[int] = (512,),
+        step: int = 10,
+        solver: str = "euler",
+        cfg: float = 3.0,
+    ) -> float:
+        """Pre-compiles the synthesise + vocoder pipeline over the shape grid
+        so no request on the grid pays a compile. Returns wall seconds spent.
+        With the persistent compilation cache enabled this is fast after the
+        first-ever process start."""
+        self._shape_ladder = True
+        t0 = time.time()
+        for tref in ref_buckets:
+            ref_mel = jnp.zeros((1, tref, self.mel_config.n_mels), jnp.float32)
+            ref_mask = jnp.ones((1, tref), jnp.float32)
+            for tx in text_buckets:
+                x = jnp.zeros((1, tx), jnp.int32)
+                x_lengths = jnp.asarray([min(8, tx)], jnp.int32)
+                for cap in lengths:
+                    logger.info("warmup: compiling tx=%d tref=%d cap=%d", tx, tref, cap)
+                    noise = jnp.zeros((1, cap, self.mel_config.n_mels), jnp.float32)
+                    out = synthesise(
+                        self.tts_model, self.tts_variables, x, x_lengths, noise,
+                        ref_mel, n_timesteps=step, solver=solver, cfg=cfg,
+                        max_mel_len=cap, y_ref_mask=ref_mask,
+                    )
+                    jax.block_until_ready(out["decoder_outputs"])
+                    self._compiled_keys.add((1, tx, tref, cap, step, solver, cfg))
+                    # vocoder at the full cap with a length mask — the exact
+                    # call shape inference() issues in ladder mode
+                    lens = out["y_lengths"] if self._vocoder_supports_lengths else None
+                    jax.block_until_ready(self._vocoder_apply(
+                        self.vocoder_variables, out["decoder_outputs"], lens))
+        dt = time.time() - t0
+        logger.info("warmup: done in %.1f s (%d keys)", dt, len(self._compiled_keys))
+        return dt
 
     def inference(
         self,
@@ -160,8 +262,9 @@ class StableTTSAPI:
 
         phones = phonemizer(text)
         ids = intersperse(cleaned_text_to_sequence(phones), 0)
+        ids, true_len = self._bucket_text(ids)
         x = jnp.asarray([ids], dtype=jnp.int32)
-        x_lengths = jnp.asarray([len(ids)], dtype=jnp.int32)
+        x_lengths = jnp.asarray([true_len], dtype=jnp.int32)
 
         if isinstance(ref_audio, str):
             wav = load_and_resample_audio(ref_audio, self.mel_config.sample_rate)
@@ -170,24 +273,47 @@ class StableTTSAPI:
         else:
             wav = np.asarray(ref_audio, dtype=np.float32)
         ref_mel = log_mel_spectrogram(jnp.asarray(wav)[None, :], self.mel_config)
+        ref_mel, ref_mask = self._bucket_ref(ref_mel)
 
         while True:
+            self._log_compile_key(
+                (1, x.shape[1], ref_mel.shape[1], max_mel_len, step, solver, cfg),
+                "inference",
+            )
             noise = jax.random.normal(
                 jax.random.PRNGKey(seed), (1, max_mel_len, self.mel_config.n_mels)
             )
             out = synthesise(
                 self.tts_model, self.tts_variables, x, x_lengths, noise, ref_mel,
                 n_timesteps=step, temperature=temperature, length_scale=length_scale,
-                solver=solver, cfg=cfg, max_mel_len=max_mel_len,
+                solver=solver, cfg=cfg, max_mel_len=max_mel_len, y_ref_mask=ref_mask,
             )
             y_len = int(out["y_lengths"][0])
-            # predicted length hit the static cap: regrow and resynthesize
-            if y_len < max_mel_len or max_mel_len >= 8192:
+            # predicted length exceeded the static cap: regrow and resynthesize
+            # (explicit flag, not y_len == cap — a prediction that exactly
+            # fits must not pay a 2x-shape recompile)
+            if not bool(out["y_clamped"][0]) or max_mel_len >= 8192:
                 break
             max_mel_len *= 2
+            logger.warning(
+                "inference: predicted length exceeded the mel cap; regrowing "
+                "to %d and resynthesizing (expect a compile unless warmed)",
+                max_mel_len,
+            )
+        if self._shape_ladder and self._vocoder_supports_lengths:
+            # fixed-shape vocoder: full cap + per-item length mask (exact —
+            # see Vocos.__call__), so no per-length vocoder recompile
+            audio = self._vocoder_apply(
+                self.vocoder_variables, out["decoder_outputs"],
+                jnp.asarray([y_len], jnp.int32),
+            )
+            audio = np.asarray(audio)[:, : y_len * self.mel_config.hop_length]
+        else:
+            audio = np.asarray(self._vocoder_apply(
+                self.vocoder_variables, out["decoder_outputs"][:, :y_len, :], None
+            ))
         mel = out["decoder_outputs"][:, :y_len, :]  # [1, T, n_mels]
-        audio = self._vocoder_apply(self.vocoder_variables, mel)
-        return np.asarray(audio), np.asarray(mel).transpose(0, 2, 1)
+        return audio, np.asarray(mel).transpose(0, 2, 1)
 
     def batch_inference(
         self,
@@ -218,6 +344,8 @@ class StableTTSAPI:
             id_lists.append(intersperse(cleaned_text_to_sequence(phonemizer(text)), 0))
         b = len(id_lists)
         tx = max(len(ids) for ids in id_lists)
+        if self._shape_ladder:
+            tx = self._round_up(tx, self._TEXT_BUCKET)
         x = np.zeros((b, tx), dtype=np.int32)
         x_lengths = np.zeros((b,), dtype=np.int32)
         for i, ids in enumerate(id_lists):
@@ -231,9 +359,16 @@ class StableTTSAPI:
         else:
             wav = np.asarray(ref_audio, dtype=np.float32)
         ref_mel = log_mel_spectrogram(jnp.asarray(wav)[None, :], self.mel_config)
+        ref_mel, ref_mask = self._bucket_ref(ref_mel)
         ref_mel = jnp.broadcast_to(ref_mel, (b,) + ref_mel.shape[1:])
+        if ref_mask is not None:
+            ref_mask = jnp.broadcast_to(ref_mask, (b,) + ref_mask.shape[1:])
 
         while True:
+            self._log_compile_key(
+                (b, tx, ref_mel.shape[1], max_mel_len, step, solver, cfg),
+                "batch_inference",
+            )
             noise = jax.random.normal(
                 jax.random.PRNGKey(seed), (b, max_mel_len, self.mel_config.n_mels)
             )
@@ -241,14 +376,21 @@ class StableTTSAPI:
                 self.tts_model, self.tts_variables, jnp.asarray(x), jnp.asarray(x_lengths),
                 noise, ref_mel, n_timesteps=step, temperature=temperature,
                 length_scale=length_scale, solver=solver, cfg=cfg, max_mel_len=max_mel_len,
+                y_ref_mask=ref_mask,
             )
-            # any item clamped at the cap -> regrow and resynthesize (same
-            # semantics as inference(); without this long items are silently
-            # truncated mid-sentence)
-            if int(np.asarray(out["y_lengths"]).max()) < max_mel_len or max_mel_len >= 8192:
+            # any item's prediction exceeded the cap -> regrow and
+            # resynthesize (same semantics as inference(); without this long
+            # items are silently truncated mid-sentence)
+            if not bool(np.asarray(out["y_clamped"]).any()) or max_mel_len >= 8192:
                 break
             max_mel_len *= 2
-        audio = np.asarray(self._vocoder_apply(self.vocoder_variables, out["decoder_outputs"]))
+            logger.warning(
+                "batch_inference: an item exceeded the mel cap; regrowing to "
+                "%d and resynthesizing the whole batch", max_mel_len,
+            )
+        lens = out["y_lengths"] if self._vocoder_supports_lengths else None
+        audio = np.asarray(self._vocoder_apply(
+            self.vocoder_variables, out["decoder_outputs"], lens))
         y_lengths = np.asarray(out["y_lengths"])
         hop = self.mel_config.hop_length
         return [audio[i, : y_lengths[i] * hop] for i in range(b)]

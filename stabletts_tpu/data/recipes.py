@@ -45,7 +45,11 @@ def aishell3(dataset_path: str, txt_path: str, output: Optional[str] = None) -> 
             if len(parts) != 2:
                 continue
             audio_name, text = parts
-            text = re.sub(r"[a-zA-Z0-9\s]", "", text)  # strip pinyin + tones
+            # content.txt interleaves hanzi with tone-numbered pinyin tokens;
+            # drop only those tokens so embedded Latin words/digits that the
+            # zh frontend can verbalize survive (e.g. product names)
+            text = re.sub(r"\b[a-zA-Z]+[1-5]\b", "", text)
+            text = re.sub(r"\s+", "", text)
             audio = os.path.abspath(os.path.join(dataset_path, audio_name[:7], audio_name))
             if os.path.exists(audio):
                 lines.append(f"{audio}|{text}\n")

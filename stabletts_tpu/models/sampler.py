@@ -104,5 +104,6 @@ def synthesise(
         "decoder_outputs": mel[:, :requested_len].astype(jnp.float32),
         "attn": prep["attn"][:, :, :requested_len].astype(jnp.float32),
         "y_lengths": prep["y_lengths"],
+        "y_clamped": prep["y_clamped"],
         "y_mask": y_mask[:, :requested_len].astype(jnp.float32),
     }

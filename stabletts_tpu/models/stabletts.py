@@ -119,9 +119,13 @@ class StableTTS(nn.Module):
         # clip_len < max_mel_len when the sampler pads the compute length to
         # an attention-block multiple: true lengths still honor the caller's
         # requested maximum
-        y_lengths = jnp.clip(
-            jnp.sum(w_ceil, axis=(1, 2)), 1, clip_len or max_mel_len
-        ).astype(jnp.int32)
+        raw_lengths = jnp.sum(w_ceil, axis=(1, 2))
+        cap = clip_len or max_mel_len
+        y_lengths = jnp.clip(raw_lengths, 1, cap).astype(jnp.int32)
+        # explicit per-item "prediction exceeded the cap" flag: callers regrow
+        # on this rather than inferring from y_lengths == cap, which would
+        # false-positive (and recompile at 2x) when a prediction exactly fits
+        y_clamped = raw_lengths > cap
 
         y_mask = sequence_mask(y_lengths, max_mel_len, dtype=x_mask.dtype)
         attn_mask = (
@@ -136,6 +140,7 @@ class StableTTS(nn.Module):
             "c": c,
             "y_mask": y_mask,
             "y_lengths": y_lengths,
+            "y_clamped": y_clamped,
             "attn": attn,
         }
 

@@ -57,12 +57,19 @@ class VocosBackbone(nn.Module):
     layer_scale_init_value: float | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, rowmask=None):
+        """rowmask [B, T, 1] (1 = valid): re-zeroes activations after every
+        block so each SAME conv sees the zero padding the trimmed input would
+        produce — the fixed-shape serving mode's exactness invariant."""
         scale = self.layer_scale_init_value or 1.0 / self.num_layers
         x = nn.Conv(self.dim, (7,), padding="SAME", name="embed")(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype, name="norm")(x)
+        if rowmask is not None:
+            x = x * rowmask
         for i in range(self.num_layers):
             x = ConvNeXtBlock(self.dim, self.intermediate_dim, scale, name=f"convnext_{i}")(x)
+            if rowmask is not None:
+                x = x * rowmask
         return nn.LayerNorm(epsilon=1e-6, dtype=x.dtype, name="final_layer_norm")(x)
 
 
@@ -79,7 +86,7 @@ class ISTFTHead(nn.Module):
     fused_istft: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, frame_mask=None):
         import os
 
         in_dtype = x.dtype
@@ -105,18 +112,22 @@ class ISTFTHead(nn.Module):
         use_fused = (
             platform == "tpu"  # no interpret fallback in this dispatch
             and self.n_fft % self.hop_length == 0
+            and frame_mask is None  # fused kernel bakes a static envelope
             and (impl == "fused" or (impl == "auto" and self.fused_istft))
         )
         if use_fused:
-            from stabletts_tpu.ops.istft_pallas import istft_same_fused
+            # _diff variant: fused Pallas forward + XLA-transpose backward, so
+            # selecting fused (flag or STABLETTS_ISTFT_IMPL=fused) stays safe
+            # under jax.grad (GAN training differentiates through the head)
+            from stabletts_tpu.ops.istft_pallas import istft_same_fused_diff
 
-            return istft_same_fused(
+            return istft_same_fused_diff(
                 re_s, im_s, self.n_fft, self.hop_length, self.n_fft,
-                matmul_dtype=matmul_dtype,
+                matmul_dtype,
             )
         return istft_same_real(
             re_s, im_s, self.n_fft, self.hop_length, self.n_fft,
-            matmul_dtype=matmul_dtype,
+            matmul_dtype=matmul_dtype, frame_mask=frame_mask,
         )
 
 
@@ -127,21 +138,35 @@ class Vocos(nn.Module):
     mel_config: MelConfig
 
     @nn.compact
-    def __call__(self, mel):
-        """mel: [B, T, n_mels] log-mel -> waveform [B, T * hop_length]."""
+    def __call__(self, mel, lengths=None):
+        """mel: [B, T, n_mels] log-mel -> waveform [B, T * hop_length].
+
+        lengths [B] (optional): fixed-shape serving mode. Frames >= lengths[i]
+        are treated as nonexistent: the input is zeroed there, activations are
+        re-zeroed after every conv block (so each SAME conv sees exactly the
+        zero padding it would see on the trimmed input), and the ISTFT head
+        masks spectra + computes a per-item window envelope. Output matches
+        vocoding the trimmed mel (then zero-padding the waveform) while one
+        compiled shape serves every length — no per-length recompile."""
+        rowmask = None
+        if lengths is not None:
+            t = mel.shape[1]
+            rowmask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(mel.dtype)[..., None]
+            mel = mel * rowmask
         x = VocosBackbone(
             input_channels=self.vocos_config.input_channels,
             dim=self.vocos_config.dim,
             intermediate_dim=self.vocos_config.intermediate_dim,
             num_layers=self.vocos_config.num_layers,
             name="backbone",
-        )(mel)
+        )(mel, rowmask)
         return ISTFTHead(
             self.vocos_config.dim, self.mel_config.n_fft, self.mel_config.hop_length, name="head"
-        )(x)
+        )(x, None if rowmask is None else rowmask[..., 0])
 
 
-def vocos_apply_fused(model: Vocos, variables, mel, interpret: bool = False):
+def vocos_apply_fused(model: Vocos, variables, mel, interpret: bool = False,
+                      lengths=None):
     """Inference-only Vocos forward with each ConvNeXt block as one fused
     Pallas kernel (ops/convnext_pallas.py). Same numerics as model.apply up
     to the GELU variant already used at the activations' dtype; embed conv,
@@ -161,17 +186,27 @@ def vocos_apply_fused(model: Vocos, variables, mel, interpret: bool = False):
     p = variables["params"]
     pb = p["backbone"]
 
+    t = mel.shape[1]
+    frame_mask = None
+    if lengths is not None:
+        # fixed-shape serving mode: same masking invariant as Vocos.__call__
+        frame_mask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(mel.dtype)
+        mel = mel * frame_mask[..., None]
+
     embed = nn.Conv(cfg.dim, (7,), padding="SAME")
     x = embed.apply({"params": pb["embed"]}, mel)
     ln = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype)
     x = ln.apply({"params": pb["norm"]}, x)
 
-    t = x.shape[1]
     pad = (-t) % 8  # kernel wants sublane-aligned rows
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-        # keep pad rows zero between blocks so each dwconv sees SAME padding
-        rowmask = (jnp.arange(t + pad) < t).astype(x.dtype)[None, :, None]
+    if pad or lengths is not None:
+        # keep invalid rows zero between blocks so each dwconv sees exactly
+        # the SAME zero padding the trimmed input would produce
+        valid = lengths[:, None] if lengths is not None else jnp.asarray([t])[:, None]
+        rowmask = (jnp.arange(t + pad)[None, :] < valid).astype(x.dtype)[..., None]
+        x = x * rowmask
     for i in range(cfg.num_layers):
         q = pb[f"convnext_{i}"]
         x = fused_convnext_block(
@@ -183,11 +218,12 @@ def vocos_apply_fused(model: Vocos, variables, mel, interpret: bool = False):
             q["gamma"],
             interpret=interpret,
         )
-        if pad:
+        if pad or lengths is not None:
             x = x * rowmask
     if pad:
         x = x[:, :t]
     x = ln.apply({"params": pb["final_layer_norm"]}, x)
 
-    head = ISTFTHead(cfg.dim, mel_cfg.n_fft, mel_cfg.hop_length, fused_istft=True)
-    return head.apply({"params": p["head"]}, x)
+    head = ISTFTHead(cfg.dim, mel_cfg.n_fft, mel_cfg.hop_length,
+                     fused_istft=frame_mask is None)
+    return head.apply({"params": p["head"]}, x, frame_mask)

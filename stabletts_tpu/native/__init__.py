@@ -29,8 +29,11 @@ _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
 
 
+_SOURCES = ("mas.cpp", "audio.cpp", "flac.cpp")
+
+
 def _build() -> bool:
-    sources = [os.path.join(_NATIVE_DIR, f) for f in ("mas.cpp", "audio.cpp")]
+    sources = [os.path.join(_NATIVE_DIR, f) for f in _SOURCES]
     if not all(os.path.exists(s) for s in sources):
         return False
     cmd = [
@@ -56,7 +59,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             not os.path.exists(_LIB_PATH)
             or any(
                 os.path.getmtime(os.path.join(_NATIVE_DIR, f)) > os.path.getmtime(_LIB_PATH)
-                for f in ("mas.cpp", "audio.cpp")
+                for f in _SOURCES
                 if os.path.exists(os.path.join(_NATIVE_DIR, f))
             )
         )
@@ -114,26 +117,31 @@ def maximum_path_native(
 def load_wav_native(path: str, target_sr: int):
     """Returns (waveform float32, source_sr) or None if unavailable/failed.
 
-    Two-phase: stabletts_wav_length gives the exact post-resample length, so
-    the output buffer is sized to the file (no fixed-cap over-allocation, no
-    silent truncation of long recordings)."""
+    Two-phase: stabletts_wav_length gives the exact post-resample length from
+    the headers alone (WAV chunk sizes / FLAC STREAMINFO — no sample decode),
+    so the output buffer is sized to the file. stabletts_load_wav returns
+    -needed when the buffer is too small, so a rare rounding mismatch retries
+    with the exact size instead of silently truncating."""
     lib = get_lib()
     if lib is None:
         return None
     n_expect = int(lib.stabletts_wav_length(path.encode(), target_sr))
     if n_expect <= 0:
         return None
-    # +8: the resampler's int64(n * ratio) and the length query round
-    # identically, but keep a tiny margin against future drift
-    out = np.empty(n_expect + 8, dtype=np.float32)
     src_sr = ctypes.c_int(0)
-    n = lib.stabletts_load_wav(
-        path.encode(), target_sr, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        out.shape[0], ctypes.byref(src_sr),
-    )
-    if n <= 0:
-        return None
-    return out[:n].copy(), int(src_sr.value)
+    for _ in range(2):
+        out = np.empty(n_expect + 8, dtype=np.float32)
+        n = lib.stabletts_load_wav(
+            path.encode(), target_sr,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out.shape[0], ctypes.byref(src_sr),
+        )
+        if n > 0:
+            return out[:n].copy(), int(src_sr.value)
+        if n == 0:
+            return None
+        n_expect = -n  # buffer too small: exact required length, retry once
+    return None
 
 
 def load_segment_native(

@@ -80,7 +80,7 @@ def idft_matrix_windowed(n_fft: int, win_length: int) -> jnp.ndarray:
 
 def istft_same_real(
     re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop_length: int, win_length: int,
-    matmul_dtype=None,
+    matmul_dtype=None, frame_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Real/imag spectrogram [B, T, n_freqs] each -> waveform [B, T * hop].
 
@@ -92,10 +92,21 @@ def istft_same_real(
     f32. Quantization noise averages over the ~n_fft summed terms per output
     sample (≈ -85 dB at n_fft=2048) — far below GAN vocoder modeling error —
     while the f32 matmul costs ~4x more MXU time than bf16.
+
+    frame_mask [B, T] (1 = valid frame): fixed-shape serving mode. Spectra of
+    masked frames are zeroed and the window envelope is computed in-graph per
+    batch item over the VALID frames only, so the result matches running on
+    the trimmed [B, T_valid] input (up to 1-ulp envelope rounding: the static
+    path sums window^2 in f64, this path in f32) — one compile shape serves
+    every output length (no per-length recompile at request time).
     """
     window = hann_window(win_length)
     pad = (win_length - hop_length) // 2
     n_frames = re.shape[1]
+    if frame_mask is not None:
+        fm = frame_mask.astype(jnp.float32)[..., None]
+        re = re * fm.astype(re.dtype)
+        im = im * fm.astype(im.dtype)
 
     w_mat = idft_matrix_windowed(n_fft, win_length)
     spec_cat = jnp.concatenate([re, im], axis=-1).astype(jnp.float32)
@@ -110,8 +121,16 @@ def istft_same_real(
         )  # [B, T, n_fft], already windowed
     y = overlap_add(frames, hop_length)
 
-    env = window_envelope(window, n_frames, hop_length)
     end = -pad or None  # pad == 0 (win == hop): keep everything, y[:, 0:-0] is empty
+    if frame_mask is not None:
+        # dynamic envelope: OLA of window^2 over valid frames only (matches
+        # the envelope the trimmed-input computation would use; beyond the
+        # valid region env==0 and y==0, so the guarded division yields 0)
+        wsq = jnp.asarray((window.astype(np.float64) ** 2).astype(np.float32))
+        env_frames = frame_mask.astype(jnp.float32)[..., None] * wsq[None, None, :]
+        env_dyn = overlap_add(env_frames, hop_length)  # [B, out_len]
+        return y[:, pad:end] / jnp.maximum(env_dyn[:, pad:end], 1e-11)
+    env = window_envelope(window, n_frames, hop_length)
     assert (env[pad:end] > 1e-11).all(), "NOLA violated"
     return y[:, pad:end] / jnp.asarray(env[pad:end])
 

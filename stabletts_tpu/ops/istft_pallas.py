@@ -116,3 +116,40 @@ def istft_same_fused(
 
     flat = rows.reshape(b, (t8 + r - 1) * hop_length)
     return flat[:, pad : pad + t * hop_length]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def istft_same_fused_diff(re, im, n_fft, hop_length, win_length,
+                          matmul_dtype=None, interpret=False):
+    """istft_same_fused with a gradient: forward runs the fused Pallas kernel,
+    backward is the transpose of the (linear) XLA ISTFT. This makes the fused
+    head safe under jax.grad — GAN vocoder training can differentiate through
+    model.apply even when the fused path is selected (the kernel itself has no
+    VJP; ISTFT is linear in re/im so the XLA transpose is exact)."""
+    return istft_same_fused(re, im, n_fft, hop_length, win_length,
+                            matmul_dtype=matmul_dtype, interpret=interpret)
+
+
+def _istft_fused_fwd(re, im, n_fft, hop_length, win_length, matmul_dtype,
+                     interpret):
+    out = istft_same_fused(re, im, n_fft, hop_length, win_length,
+                           matmul_dtype=matmul_dtype, interpret=interpret)
+    return out, (jax.ShapeDtypeStruct(re.shape, re.dtype),
+                 jax.ShapeDtypeStruct(im.shape, im.dtype))
+
+
+def _istft_fused_bwd(n_fft, hop_length, win_length, matmul_dtype, interpret,
+                     res, g):
+    from stabletts_tpu.ops.istft import istft_same_real
+
+    re_spec, im_spec = res
+    # backward stays f32 regardless of forward quantization: gradient noise
+    # does not average away like forward quantization noise does
+    lin = lambda re, im: istft_same_real(re, im, n_fft, hop_length, win_length)
+    f32 = lambda s: jax.ShapeDtypeStruct(s.shape, jnp.float32)
+    transpose = jax.linear_transpose(lin, f32(re_spec), f32(im_spec))
+    dre, dim = transpose(g.astype(jnp.float32))
+    return dre.astype(re_spec.dtype), dim.astype(im_spec.dtype)
+
+
+istft_same_fused_diff.defvjp(_istft_fused_fwd, _istft_fused_bwd)

@@ -26,6 +26,8 @@ quirks are reproduced so results match the reference bit-for-bit.
 
 from __future__ import annotations
 
+import logging
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -93,6 +95,9 @@ def maximum_path(neg_cent: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return _backtrace(value, t_ys, t_xs)
 
 
+_logged_fallback_shapes: set = set()
+
+
 def maximum_path_auto(neg_cent: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Dispatch to the Pallas kernel on TPU when its VMEM working set fits
     (decision-bit table + row buffers), else the lax.scan kernel. The Pallas
@@ -101,10 +106,20 @@ def maximum_path_auto(neg_cent: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     b_pad = -(-b // 8) * 8
     t_x_pad = -(-t_x // 128) * 128
     vmem_bytes = t_y * b_pad * t_x_pad + 6 * b_pad * t_x_pad * 4
-    if jax.default_backend() not in ("cpu", "gpu") and vmem_bytes < 13 * 2 ** 20:
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if on_tpu and vmem_bytes < 13 * 2 ** 20:
         from stabletts_tpu.ops.mas_pallas import maximum_path_pallas
 
         return maximum_path_pallas(neg_cent, mask)
+    if on_tpu and (b, t_y, t_x) not in _logged_fallback_shapes:
+        # once per shape: a config that quietly overflows the Pallas VMEM
+        # budget loses the ~2.2x kernel without any signal otherwise
+        _logged_fallback_shapes.add((b, t_y, t_x))
+        logging.getLogger("stabletts.ops.mas").warning(
+            "MAS [%d, %d, %d] exceeds the Pallas VMEM budget (%.1f MiB >= 13 "
+            "MiB); using the ~2.2x slower lax.scan kernel for this shape",
+            b, t_y, t_x, vmem_bytes / 2 ** 20,
+        )
     return maximum_path(neg_cent, mask)
 
 

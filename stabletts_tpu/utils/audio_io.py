@@ -16,11 +16,19 @@ import numpy as np
 
 def load_audio(path: str) -> tuple[np.ndarray, int]:
     """Returns (mono float32 waveform in [-1, 1], sample_rate)."""
-    ext = os.path.splitext(path)[1].lower()
-    if ext != ".wav":
+    # sniff by magic bytes, not extension: recipes may emit either container
+    with open(path, "rb") as fh:
+        magic = fh.read(4)
+    if magic == b"fLaC":
+        from stabletts_tpu.utils.flac_py import decode_flac
+
+        with open(path, "rb") as fh:
+            return decode_flac(fh.read())
+    if magic != b"RIFF":
+        ext = os.path.splitext(path)[1].lower()
         raise ValueError(
-            f"unsupported audio format {ext!r} (only WAV is decodable in this "
-            "environment; convert with ffmpeg/sox offline)"
+            f"unsupported audio format {ext!r} (WAV and FLAC are decodable "
+            "in this environment; convert others with ffmpeg/sox offline)"
         )
     from scipy.io import wavfile
 

@@ -106,6 +106,31 @@ def test_istft_fused_matches_xla_path():
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
+def test_istft_fused_diff_gradient_matches_xla():
+    """The fused head's custom VJP (XLA linear transpose) must match the
+    gradient of the pure XLA path — this is what makes GAN training safe when
+    the fused ISTFT is selected (advisor finding: models/vocos.py env
+    override used to trace-fail under jax.grad)."""
+    import jax
+
+    from stabletts_tpu.ops.istft import istft_same_real
+    from stabletts_tpu.ops.istft_pallas import istft_same_fused_diff
+
+    rng = np.random.default_rng(1)
+    re = jnp.asarray(rng.standard_normal((2, 10, 1025)), jnp.float32)
+    im = jnp.asarray(rng.standard_normal((2, 10, 1025)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((2, 10 * 512)), jnp.float32)
+
+    loss_fused = lambda re, im: jnp.sum(
+        w * istft_same_fused_diff(re, im, 2048, 512, 2048, None, True))
+    loss_xla = lambda re, im: jnp.sum(w * istft_same_real(re, im, 2048, 512, 2048))
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1))(re, im)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1))(re, im)
+    for gf, gx in zip(g_fused, g_xla):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), rtol=1e-5, atol=1e-5)
+
+
 def test_istft_fused_rejects_bad_config():
     from stabletts_tpu.ops.istft_pallas import istft_same_fused
 

@@ -1,18 +1,30 @@
 """English g2p: text -> IPA2 character list (reference: text/english.py).
 
 The normalization pipeline (abbreviations, numbers, currency, ordinals)
-matches the reference's tacotron-derived cleaners. The IPA conversion itself
-replaces `eng_to_ipa` (whose CMU-dict data is unavailable in this image) with
-a built-in exception lexicon + letter-to-sound rules; output uses the same
-IPA inventory and the same ipa->ipa2 substitutions (r->ɹ, ʤ->dʒ, ʧ->tʃ) and
-dark-l marking as the reference.
+matches the reference's tacotron-derived cleaners. The IPA conversion
+replaces `eng_to_ipa` (whose CMU-dict sqlite is unavailable in this image)
+with a vendored pronunciation lexicon (text/data/en_lexicon.tsv, ~4k+
+hand-built entries in eng_to_ipa's exact output conventions: CMU ARPAbet ->
+IPA with AH->ə, ER->ər, stress marks ˈ/ˌ before the syllable onset, no marks
+on monosyllables) plus a morphology layer that derives inflected forms
+(-s/-es/-ed/-ing/-ly/-er/-est/-ness/-ment/-ful/-less, possessives, common
+prefixes) with the standard voicing-assimilation rules, so the effective
+vocabulary is several times the lexicon size. Out-of-lexicon words fall back
+to letter-to-sound rules (default) or eng_to_ipa's literal word* convention
+(set STABLETTS_EN_OOV=star for strict reference behavior).
+
+Every emitted character is in the 401-entry symbol table after the ipa->ipa2
+substitutions (r->ɹ, ʤ->dʒ, ʧ->tʃ) and dark-l marking — the table carries ə
+but NOT ʌ/ɜ, which is why the lexicon uses eng_to_ipa's ə-based conventions
+(a ʌ would be silently dropped by cleaned_text_to_sequence).
 """
 
 from __future__ import annotations
 
+import os
 import re
 import unicodedata
-from typing import List
+from typing import Dict, List, Optional
 
 from stabletts_tpu.text.numbers_en import normalize_numbers
 
@@ -29,103 +41,198 @@ _abbreviations = [
 
 _ipa_to_ipa2 = [(re.compile(p), r) for p, r in [("r", "ɹ"), ("ʤ", "dʒ"), ("ʧ", "tʃ")]]
 
-# high-frequency words with irregular spellings (exception lexicon)
-_LEXICON = {
-    "the": "ðə", "of": "ʌv", "and": "ænd", "a": "ə", "to": "tu", "in": "ɪn",
-    "is": "ɪz", "you": "ju", "that": "ðæt", "it": "ɪt", "he": "hi", "was": "wʌz",
-    "for": "fɔr", "on": "ɑn", "are": "ɑr", "as": "æz", "with": "wɪð",
-    "his": "hɪz", "they": "ðeɪ", "i": "aɪ", "at": "æt", "be": "bi", "this": "ðɪs",
-    "have": "hæv", "from": "frʌm", "or": "ɔr", "one": "wʌn", "had": "hæd",
-    "by": "baɪ", "word": "wɜrd", "but": "bʌt", "not": "nɑt", "what": "wʌt",
-    "all": "ɔl", "were": "wɜr", "we": "wi", "when": "wɛn", "your": "jʊr",
-    "can": "kæn", "said": "sɛd", "there": "ðɛr", "use": "juz", "an": "æn",
-    "each": "iʧ", "which": "wɪʧ", "she": "ʃi", "do": "du", "how": "haʊ",
-    "their": "ðɛr", "if": "ɪf", "will": "wɪl", "up": "ʌp", "other": "ˈʌðər",
-    "about": "əˈbaʊt", "out": "aʊt", "many": "ˈmɛni", "then": "ðɛn",
-    "them": "ðɛm", "these": "ðiz", "so": "soʊ", "some": "sʌm", "her": "hɜr",
-    "would": "wʊd", "make": "meɪk", "like": "laɪk", "him": "hɪm", "into": "ˈɪntu",
-    "time": "taɪm", "has": "hæz", "look": "lʊk", "two": "tu", "more": "mɔr",
-    "write": "raɪt", "go": "goʊ", "see": "si", "number": "ˈnʌmbər", "no": "noʊ",
-    "way": "weɪ", "could": "kʊd", "people": "ˈpipəl", "my": "maɪ", "than": "ðæn",
-    "first": "fɜrst", "water": "ˈwɔtər", "been": "bɪn", "who": "hu", "oil": "ɔɪl",
-    "its": "ɪts", "now": "naʊ", "find": "faɪnd", "long": "lɔŋ", "down": "daʊn",
-    "day": "deɪ", "did": "dɪd", "get": "gɛt", "come": "kʌm", "made": "meɪd",
-    "may": "meɪ", "part": "pɑrt", "over": "ˈoʊvər", "new": "nu", "sound": "saʊnd",
-    "take": "teɪk", "only": "ˈoʊnli", "little": "ˈlɪtəl", "work": "wɜrk",
-    "know": "noʊ", "place": "pleɪs", "year": "jɪr", "live": "lɪv", "me": "mi",
-    "back": "bæk", "give": "gɪv", "most": "moʊst", "very": "ˈvɛri",
-    "after": "ˈæftər", "thing": "θɪŋ", "our": "aʊər", "just": "ʤʌst",
-    "name": "neɪm", "good": "gʊd", "sentence": "ˈsɛntəns", "man": "mæn",
-    "think": "θɪŋk", "say": "seɪ", "great": "greɪt", "where": "wɛr",
-    "help": "hɛlp", "through": "θru", "much": "mʌʧ", "before": "bɪˈfɔr",
-    "line": "laɪn", "right": "raɪt", "too": "tu", "mean": "min", "old": "oʊld",
-    "any": "ˈɛni", "same": "seɪm", "tell": "tɛl", "boy": "bɔɪ", "follow": "ˈfɑloʊ",
-    "came": "keɪm", "want": "wɑnt", "show": "ʃoʊ", "also": "ˈɔlsoʊ",
-    "around": "əˈraʊnd", "form": "fɔrm", "three": "θri", "small": "smɔl",
-    "set": "sɛt", "put": "pʊt", "end": "ɛnd", "does": "dʌz", "another": "əˈnʌðər",
-    "well": "wɛl", "large": "lɑrʤ", "must": "mʌst", "big": "bɪg", "even": "ˈivən",
-    "such": "sʌʧ", "because": "bɪˈkɔz", "here": "hir", "why": "waɪ", "ask": "æsk",
-    "went": "wɛnt", "men": "mɛn", "read": "rid", "need": "nid", "land": "lænd",
-    "different": "ˈdɪfərənt", "home": "hoʊm", "us": "ʌs", "move": "muv",
-    "try": "traɪ", "kind": "kaɪnd", "hand": "hænd", "picture": "ˈpɪkʧər",
-    "again": "əˈgɛn", "change": "ʧeɪnʤ", "off": "ɔf", "play": "pleɪ",
-    "spell": "spɛl", "air": "ɛr", "away": "əˈweɪ", "animal": "ˈænəməl",
-    "house": "haʊs", "point": "pɔɪnt", "page": "peɪʤ", "letter": "ˈlɛtər",
-    "mother": "ˈmʌðər", "answer": "ˈænsər", "found": "faʊnd", "study": "ˈstʌdi",
-    "still": "stɪl", "learn": "lɜrn", "should": "ʃʊd", "world": "wɜrld",
-    "high": "haɪ", "every": "ˈɛvəri", "near": "nir", "add": "æd", "food": "fud",
-    "between": "bɪˈtwin", "own": "oʊn", "below": "bɪˈloʊ", "country": "ˈkʌntri",
-    "plant": "plænt", "last": "læst", "school": "skul", "father": "ˈfɑðər",
-    "keep": "kip", "tree": "tri", "never": "ˈnɛvər", "start": "stɑrt",
-    "city": "ˈsɪti", "earth": "ɜrθ", "eye": "aɪ", "light": "laɪt",
-    "thought": "θɔt", "head": "hɛd", "under": "ˈʌndər", "story": "ˈstɔri",
-    "saw": "sɔ", "left": "lɛft", "don't": "doʊnt", "few": "fju", "while": "waɪl",
-    "along": "əˈlɔŋ", "might": "maɪt", "close": "kloʊs", "something": "ˈsʌmθɪŋ",
-    "seem": "sim", "next": "nɛkst", "hard": "hɑrd", "open": "ˈoʊpən",
-    "example": "ɪgˈzæmpəl", "begin": "bɪˈgɪn", "life": "laɪf", "always": "ˈɔlˌweɪz",
-    "those": "ðoʊz", "both": "boʊθ", "paper": "ˈpeɪpər", "together": "təˈgɛðər",
-    "got": "gɑt", "group": "grup", "often": "ˈɔfən", "run": "rʌn",
-    "important": "ɪmˈpɔrtənt", "until": "ənˈtɪl", "children": "ˈʧɪldrən",
-    "side": "saɪd", "feet": "fit", "car": "kɑr", "mile": "maɪl", "night": "naɪt",
-    "walk": "wɔk", "white": "waɪt", "sea": "si", "began": "bɪˈgæn", "grow": "groʊ",
-    "took": "tʊk", "river": "ˈrɪvər", "four": "fɔr", "carry": "ˈkæri",
-    "state": "steɪt", "once": "wʌns", "book": "bʊk", "hear": "hir", "stop": "stɑp",
-    "without": "wɪˈðaʊt", "second": "ˈsɛkənd", "later": "ˈleɪtər", "miss": "mɪs",
-    "idea": "aɪˈdiə", "enough": "ɪˈnʌf", "eat": "it", "face": "feɪs",
-    "watch": "wɑʧ", "far": "fɑr", "really": "ˈrɪli", "almost": "ˈɔlˌmoʊst",
-    "let": "lɛt", "above": "əˈbʌv", "girl": "gɜrl", "sometimes": "ˈsʌmˌtaɪmz",
-    "mountain": "ˈmaʊntən", "cut": "kʌt", "young": "jʌŋ", "talk": "tɔk",
-    "soon": "sun", "list": "lɪst", "song": "sɔŋ", "being": "ˈbiɪŋ",
-    "leave": "liv", "family": "ˈfæməli", "it's": "ɪts", "hello": "hɛˈloʊ",
-    "world's": "wɜrldz", "speech": "spiʧ", "voice": "vɔɪs", "language": "ˈlæŋgwəʤ",
-}
+_LEXICON_PATH = os.path.join(os.path.dirname(__file__), "data", "en_lexicon.tsv")
+_lexicon: Optional[Dict[str, str]] = None
 
-# letter-to-sound rules, tried in order at each position (longest first)
+
+def _load_lexicon() -> Dict[str, str]:
+    global _lexicon
+    if _lexicon is None:
+        lex: Dict[str, str] = {}
+        with open(_LEXICON_PATH, encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line or "\t" not in line:
+                    continue
+                word, pron = line.split("\t", 1)
+                lex.setdefault(word.lower(), pron)
+        _lexicon = lex
+    return _lexicon
+
+
+# ---------------------------------------------------------------------------
+# morphology: derive inflected forms from base-form pronunciations
+
+_SIBILANT_END = re.compile(r"(?:[szʃʒʧʤ])$")
+_VOICELESS_END = re.compile(r"(?:[ptkfθ])$")
+
+
+def _suffix_s(pron: str) -> str:
+    """Plural / 3sg / possessive -s with voicing assimilation (CMU: AH0 Z
+    after sibilants -> əz, S after voiceless, Z otherwise)."""
+    if _SIBILANT_END.search(pron):
+        return pron + "əz"
+    if _VOICELESS_END.search(pron):
+        return pron + "s"
+    return pron + "z"
+
+
+def _suffix_ed(pron: str) -> str:
+    if pron.endswith(("t", "d")):
+        return pron + "əd"
+    if re.search(r"[pkfθsʃʧ]$", pron):  # all voiceless finals devoice -ed
+        return pron + "t"
+    return pron + "d"
+
+
+_PREFIXES = [
+    ("un", "ən"), ("non", "ˌnɑn"), ("mis", "ˌmɪs"), ("dis", "dɪs"),
+    ("re", "ri"), ("pre", "pri"), ("over", "ˌoʊvər"), ("under", "ˌəndər"),
+    ("out", "ˌaʊt"), ("super", "ˌsupər"), ("anti", "ˌænti"), ("semi", "ˌsɛmi"),
+]
+
+
+def _lookup(word: str, depth: int = 0) -> Optional[str]:
+    """Lexicon lookup with morphological derivation. Returns IPA or None."""
+    lex = _load_lexicon()
+    if word in lex:
+        return lex[word]
+    if depth > 2 or len(word) < 3:
+        return None
+
+    def base(w: str) -> Optional[str]:
+        return _lookup(w, depth + 1)
+
+    # possessive
+    if word.endswith("'s"):
+        p = base(word[:-2])
+        if p:
+            return _suffix_s(p)
+    if word.endswith("s'"):
+        p = base(word[:-1])  # dogs' -> dogs
+        if p:
+            return p
+    # plural / 3sg
+    if word.endswith("ies") and len(word) > 4:
+        p = base(word[:-3] + "y")
+        if p:
+            return _suffix_s(p)  # carry -> carries: ˈkæri + z
+    if word.endswith("es"):
+        p = base(word[:-2])
+        if p:  # boxes -> bɑksəz; potatoes -> pəˈteɪˌtoʊz
+            return p + "əz" if _SIBILANT_END.search(p) else _suffix_s(p)
+        p = base(word[:-1])  # makes -> make; houses -> house
+        if p:
+            return _suffix_s(p)
+    if word.endswith("s") and not word.endswith("ss"):
+        p = base(word[:-1])
+        if p:
+            return _suffix_s(p)
+    # past tense
+    if word.endswith("ied") and len(word) > 4:
+        p = base(word[:-3] + "y")
+        if p:
+            return _suffix_ed(p)  # carry -> carried: ˈkæri + d
+    if word.endswith("ed"):
+        stem = word[:-2]
+        p = base(stem) or base(stem + "e")
+        if p is None and len(stem) > 2 and stem[-1] == stem[-2]:
+            p = base(stem[:-1])  # stopped -> stop
+        if p:
+            return _suffix_ed(p)
+    # progressive
+    if word.endswith("ing"):
+        stem = word[:-3]
+        p = base(stem) or base(stem + "e")
+        if p is None and len(stem) > 2 and stem[-1] == stem[-2]:
+            p = base(stem[:-1])  # running -> run
+        if p:
+            return p + "ɪŋ"
+    # adverbs
+    if word.endswith("ily") and len(word) > 4:
+        p = base(word[:-3] + "y")
+        if p:
+            return (p[:-1] if p.endswith("i") else p) + "əli"
+    if word.endswith("ly"):
+        p = base(word[:-2])
+        if p:
+            return p + "li"
+    # comparative / superlative / agent
+    for suf, tail in (("er", "ər"), ("est", "əst")):
+        if word.endswith(suf):
+            stem = word[: -len(suf)]
+            p = base(stem) or base(stem + "e")
+            if p is None and len(stem) > 2 and stem[-1] == stem[-2]:
+                p = base(stem[:-1])
+            if p is None and stem.endswith("i"):
+                p = base(stem[:-1] + "y")  # happier -> happy
+                if p and p.endswith("i"):
+                    p = p[:-1] + "i"
+            if p:
+                return p + tail
+    # derivational suffixes (stress-neutral)
+    for suf, tail in (("ness", "nəs"), ("ment", "mənt"), ("ful", "fəl"),
+                      ("less", "ləs"), ("ship", "ˌʃɪp"), ("hood", "ˌhʊd")):
+        if word.endswith(suf) and len(word) > len(suf) + 2:
+            p = base(word[: -len(suf)])
+            if p:
+                return p + tail
+    # prefixes
+    for pre, head in _PREFIXES:
+        if word.startswith(pre) and len(word) > len(pre) + 2:
+            p = base(word[len(pre):])
+            if p:
+                return head + p
+    # closed compounds: split into two direct lexicon words (longest first
+    # part wins: "farmhouse" -> farm + house, "seashore" -> sea + shore)
+    if depth <= 1 and len(word) >= 6:
+        for i in range(len(word) - 2, 2, -1):
+            a, b = word[:i], word[i:]
+            if a in lex and b in lex:
+                return lex[a] + lex[b]
+    return None
+
+
+# ---------------------------------------------------------------------------
+# letter-to-sound fallback for out-of-lexicon words.
+# Emits ONLY symbol-table characters (ə-based — never ʌ/ɜ, which the table
+# lacks and cleaned_text_to_sequence would silently drop).
+
 _LTS_RULES = [
-    # multi-letter patterns
-    ("tion", "ʃən"), ("sion", "ʒən"), ("ight", "aɪt"), ("ough", "oʊ"),
-    ("augh", "ɔ"), ("eigh", "eɪ"), ("tch", "ʧ"), ("dge", "ʤ"), ("igh", "aɪ"),
-    ("sch", "sk"), ("ear", "ɪr"), ("oar", "ɔr"), ("our", "ɔr"), ("air", "ɛr"),
-    ("eer", "ɪr"), ("ai", "eɪ"), ("ay", "eɪ"), ("ee", "i"), ("ea", "i"),
+    # multi-letter patterns, longest first
+    ("ought", "ɔt"), ("aught", "ɔt"),
+    ("tion", "ʃən"), ("sion", "ʒən"), ("cial", "ʃəl"), ("tial", "ʃəl"),
+    ("cious", "ʃəs"), ("tious", "ʃəs"), ("geous", "ʤəs"), ("cean", "ʃən"),
+    ("ture", "ʧər"), ("sure", "ʒər"), ("ight", "aɪt"), ("ough", "oʊ"),
+    ("eigh", "eɪ"), ("dge", "ʤ"), ("tch", "ʧ"), ("igh", "aɪ"),
+    ("sch", "sk"), ("che", "ʧ"),
+    ("ear", "ɪr"), ("eer", "ɪr"), ("oar", "ɔr"), ("our", "ɔr"),
+    ("air", "ɛr"), ("are", "ɛr"), ("ore", "ɔr"), ("ure", "ʊr"),
+    ("ai", "eɪ"), ("ay", "eɪ"), ("ee", "i"), ("ea", "i"),
     ("oa", "oʊ"), ("oo", "u"), ("ou", "aʊ"), ("ow", "oʊ"), ("oi", "ɔɪ"),
     ("oy", "ɔɪ"), ("au", "ɔ"), ("aw", "ɔ"), ("ew", "u"), ("ue", "u"),
     ("ui", "u"), ("ie", "i"), ("ei", "eɪ"), ("ey", "eɪ"),
-    ("ar", "ɑr"), ("er", "ər"), ("ir", "ɜr"), ("ur", "ɜr"), ("or", "ɔr"),
+    ("ar", "ɑr"), ("er", "ər"), ("ir", "ər"), ("ur", "ər"), ("or", "ɔr"),
     ("th", "θ"), ("sh", "ʃ"), ("ch", "ʧ"), ("ph", "f"), ("wh", "w"),
     ("ck", "k"), ("ng", "ŋ"), ("qu", "kw"), ("gh", ""), ("kn", "n"),
-    ("wr", "r"), ("mb", "m"), ("gn", "n"), ("ps", "s"),
+    ("wr", "r"), ("gn", "n"), ("ps", "s"),
+    ("bb", "b"), ("dd", "d"), ("ff", "f"), ("gg", "g"), ("ll", "l"),
+    ("mm", "m"), ("nn", "n"), ("pp", "p"), ("rr", "r"), ("ss", "s"),
+    ("tt", "t"), ("zz", "z"),
     # single letters
     ("a", "æ"), ("b", "b"), ("d", "d"), ("e", "ɛ"), ("f", "f"), ("g", "g"),
     ("h", "h"), ("i", "ɪ"), ("j", "ʤ"), ("k", "k"), ("l", "l"), ("m", "m"),
-    ("n", "n"), ("o", "ɑ"), ("p", "p"), ("r", "r"), ("s", "s"), ("t", "t"),
-    ("u", "ʌ"), ("v", "v"), ("w", "w"), ("x", "ks"), ("y", "j"), ("z", "z"),
+    ("n", "n"), ("o", "ɑ"), ("p", "p"), ("q", "k"), ("r", "r"), ("s", "s"), ("t", "t"),
+    ("u", "ə"), ("v", "v"), ("w", "w"), ("x", "ks"), ("y", "j"), ("z", "z"),
 ]
 _VOWELS = "aeiou"
 
 
 def _rule_g2p(word: str) -> str:
     """Letter-to-sound fallback for out-of-lexicon words."""
-    w = word.lower()
+    w = word.lower().replace("'", "")
+    if not w:
+        return ""
     # soft c/g before e/i/y
     w = re.sub(r"c(?=[eiy])", "s", w)
     w = re.sub(r"g(?=[eiy])", "ʤ", w)
@@ -181,12 +288,19 @@ _WORD_RE = re.compile(r"[a-z']+|[^a-z' ]")
 
 
 def ipa_convert(text: str) -> str:
-    """CMU-dict-free replacement for eng_to_ipa.convert: lexicon first,
-    letter-to-sound rules otherwise. Punctuation passes through."""
+    """CMU-dict-free replacement for eng_to_ipa.convert: vendored lexicon +
+    morphology first, then letter-to-sound rules (or eng_to_ipa's word*
+    convention with STABLETTS_EN_OOV=star). Punctuation passes through."""
+    star = os.environ.get("STABLETTS_EN_OOV") == "star"
     pieces = []
     for token in _WORD_RE.findall(text):
         if token[0].isalpha() or token[0] == "'":
-            pieces.append(_LEXICON.get(token, _rule_g2p(token)))
+            pron = _lookup(token)
+            if pron is None and token.strip("'") != token:
+                pron = _lookup(token.strip("'"))
+            if pron is None:
+                pron = token + "*" if star else _rule_g2p(token)
+            pieces.append(pron)
             pieces.append(" ")
         else:
             if pieces and pieces[-1] == " ":

@@ -1,26 +1,37 @@
-"""Japanese g2p: kana text -> IPA2 character list (reference: text/japanese.py).
+"""Japanese g2p: text (kanji + kana) -> IPA2 character list
+(reference: text/japanese.py).
 
-The reference delegates phonemization to pyopenjtalk (the native Open JTalk
-engine + its morphological dictionary), which is unavailable in this image.
-This implementation converts kana (hiragana/katakana) to the same Open-JTalk
-romaji phoneme strings directly, then applies the reference's exact
-sokuon/hatsuon rewrites and romaji->IPA2 substitutions.
+The reference delegates to pyopenjtalk (native Open JTalk + its UniDic-style
+morphological/accent dictionary), unavailable in this image. This module
+reproduces the same *output conventions* with a self-contained pipeline:
 
-Known divergences (no morphological dictionary available):
-  * kanji cannot be read — they are skipped with a warning; feed kana or
-    pre-convert kanji upstream
-  * pitch-accent arrows (↑ ↓) are not emitted (they require the accent
-    dictionary); the symbol table still supports them
+  1. segmentation: greedy longest-match over a vendored word dictionary
+     (text/data/ja_words.tsv: surface -> kana reading -> Tokyo accent type),
+     single-kanji fallback readings (text/data/ja_kanji.tsv), kana passthrough
+  2. accent phrases: particles/auxiliaries attach to the preceding content
+     word; each phrase carries its head word's accent nucleus position
+  3. mora conversion: kana -> Open-JTalk romaji moras (digraph = 1 mora,
+     っ = Q via 'cl', ん = N, ー = vowel length)
+  4. high-vowel devoicing: i/u in a voiceless-onset mora followed by a
+     voiceless onset (or phrase-final su/shi after voiceless) -> I/U,
+     matching Open JTalk's devoiced-vowel labels; the accent nucleus resists
+  5. pitch-accent arrows exactly as the reference derives them from the
+     fullcontext labels (japanese.py:95-112): within a phrase of accent type
+     k, '↓' after mora k, elif '↑' after mora 1; ' ' between phrases
+  6. the reference's sokuon/hatsuon rewrites and romaji->IPA2 substitutions
+
+Unknown kanji (not in either table) are skipped with a warning — with the
+vendored tables this is the rare tail, not the common case.
 """
 
 from __future__ import annotations
 
+import os
 import re
 import warnings
-from typing import List
+from typing import Dict, List, Optional, Tuple
 
-# kana -> Open-JTalk-style romaji (phonemes concatenated, as the reference
-# assembles them in japanese_to_romaji_with_accent, japanese.py:74-112)
+# kana -> Open-JTalk-style romaji, one entry per mora
 _KANA_MAP = {
     # basic hiragana
     "あ": "a", "い": "i", "う": "u", "え": "e", "お": "o",
@@ -39,7 +50,7 @@ _KANA_MAP = {
     "ば": "ba", "び": "bi", "ぶ": "bu", "べ": "be", "ぼ": "bo",
     "ぱ": "pa", "ぴ": "pi", "ぷ": "pu", "ぺ": "pe", "ぽ": "po",
     "ゔ": "vu",
-    # digraphs
+    # digraphs (one mora each)
     "きゃ": "kya", "きゅ": "kyu", "きょ": "kyo",
     "しゃ": "sha", "しゅ": "shu", "しょ": "sho",
     "ちゃ": "cha", "ちゅ": "chu", "ちょ": "cho",
@@ -56,14 +67,12 @@ _KANA_MAP = {
     "うぃ": "wi", "うぇ": "we", "うぉ": "wo",
     "てぃ": "ti", "でぃ": "di", "とぅ": "tu", "どぅ": "du",
     "しぇ": "she", "ちぇ": "che", "じぇ": "je",
-    "ヴ": "vu",
     # small vowels standalone
     "ぁ": "a", "ぃ": "i", "ぅ": "u", "ぇ": "e", "ぉ": "o",
 }
 _SOKUON = "っ"
 _CHOUON = "ー"
 
-_HIRA_START, _HIRA_END = 0x3041, 0x3096
 _KATA_START, _KATA_END = 0x30A1, 0x30F6
 
 _japanese_marks = re.compile(
@@ -97,7 +106,49 @@ _real_hatsuon = [
     ]
 ]
 
-_VOWELS = "aiueoIU"
+# particles / auxiliaries that attach to the preceding accent phrase.
+# longest-first so った/ます match before た/ま. Readings: は->wa, へ->e.
+_PARTICLES = [
+    "でしょう", "ですか", "ました", "ません", "ながら", "けれど", "について",
+    "によって", "という", "ていた", "ている", "でした", "たちは", "たちが",
+    "です", "ます", "から", "まで", "より", "ほど", "だけ", "など", "くらい",
+    "ぐらい", "ばかり", "しか", "でも", "とも", "とは", "には", "へは", "では",
+    "もう", "こそ", "さえ", "って", "た", "て", "と", "な", "に", "ね", "の",
+    "は", "へ", "も", "や", "よ", "を", "が", "で", "か", "ぞ", "ぜ", "わ",
+    "さ", "し",
+]
+_PARTICLE_READING = {"は": "わ", "へ": "え"}
+
+_DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+_word_dict: Optional[Dict[str, Tuple[str, int]]] = None
+_kanji_dict: Optional[Dict[str, str]] = None
+_max_word_len = 1
+
+
+def _load_dicts() -> Tuple[Dict[str, Tuple[str, int]], Dict[str, str]]:
+    global _word_dict, _kanji_dict, _max_word_len
+    if _word_dict is None:
+        words: Dict[str, Tuple[str, int]] = {}
+        path = os.path.join(_DATA_DIR, "ja_words.tsv")
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as f:
+                for line in f:
+                    parts = line.rstrip("\n").split("\t")
+                    if len(parts) >= 2 and parts[0]:
+                        accent = int(parts[2]) if len(parts) > 2 and parts[2] else 0
+                        words.setdefault(parts[0], (parts[1], accent))
+        kanji: Dict[str, str] = {}
+        path = os.path.join(_DATA_DIR, "ja_kanji.tsv")
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as f:
+                for line in f:
+                    parts = line.rstrip("\n").split("\t")
+                    if len(parts) >= 2 and parts[0]:
+                        kanji.setdefault(parts[0], parts[1])
+        _word_dict = words
+        _kanji_dict = kanji
+        _max_word_len = max((len(w) for w in words), default=1)
+    return _word_dict, _kanji_dict
 
 
 def _kata_to_hira(text: str) -> str:
@@ -106,39 +157,197 @@ def _kata_to_hira(text: str) -> str:
     )
 
 
-def kana_to_romaji(text: str) -> str:
-    """Kana span -> Open-JTalk-style romaji with ʧ/ʃ/Q substitutions applied
-    (matching the assembly in reference japanese.py:85-92)."""
-    text = _kata_to_hira(text.replace("ー", _CHOUON))
-    out: List[str] = []
-    skipped_kanji = False
+def _is_kanji(ch: str) -> bool:
+    return 0x4E00 <= ord(ch) <= 0x9FFF or ch == "々"
+
+
+def _is_kana(ch: str) -> bool:
+    o = ord(ch)
+    return 0x3041 <= o <= 0x309F or 0x30A1 <= o <= 0x30FF or ch == _CHOUON
+
+
+def kana_to_moras(kana: str) -> List[str]:
+    """Kana string -> list of Open-JTalk romaji moras ('cl' for っ, 'N' for ん,
+    long vowels repeat the previous vowel as their own mora)."""
+    text = _kata_to_hira(kana)
+    moras: List[str] = []
     i = 0
     while i < len(text):
         two = text[i : i + 2]
         ch = text[i]
         if two in _KANA_MAP:
-            out.append(_KANA_MAP[two])
+            moras.append(_KANA_MAP[two])
             i += 2
             continue
         if ch == _SOKUON:
-            out.append("cl")
+            moras.append("cl")
         elif ch == _CHOUON:
-            # chouon: repeat previous vowel
-            prev = out[-1] if out else ""
+            prev = moras[-1] if moras else ""
             if prev and prev[-1] in "aiueo":
-                out.append(prev[-1])
+                moras.append(prev[-1])
         elif ch in _KANA_MAP:
-            out.append(_KANA_MAP[ch])
-        elif 0x4E00 <= ord(ch) <= 0x9FFF or ch == "々":
-            skipped_kanji = True
+            moras.append(_KANA_MAP[ch])
         i += 1
-    if skipped_kanji:
+    return moras
+
+
+# --- segmentation into accent phrases --------------------------------------
+
+_VOICELESS_ONSETS = ("k", "s", "t", "p", "h", "f", "ch", "sh", "ts",
+                     "ky", "hy", "py", "sha", "shu", "sho", "cha", "chu", "cho")
+
+
+def _onset_voiceless(mora: str) -> bool:
+    return mora[0] in "kstphf" or mora.startswith(("ch", "sh", "ts"))
+
+
+def _devoice(moras: List[str], accent: int) -> List[str]:
+    """Open JTalk's devoiced high vowels: i/u in a voiceless-onset mora become
+    I/U when the next onset is voiceless too, or phrase-finally in su/shi
+    after a preceding mora (です/ます pattern). The accent-nucleus mora keeps
+    its voicing."""
+    out = list(moras)
+    n = len(out)
+    for j, m in enumerate(out):
+        if not m or m[-1] not in "iu" or not _onset_voiceless(m):
+            continue
+        if j + 1 == accent:  # 1-based nucleus position
+            continue
+        if j + 1 < n and _onset_voiceless(out[j + 1]):
+            out[j] = m[:-1] + m[-1].upper()
+        elif j + 1 == n and j > 0 and m in ("su", "shi"):
+            out[j] = m[:-1] + m[-1].upper()
+    return out
+
+
+def _segment(sentence: str) -> List[Tuple[List[str], int]]:
+    """Japanese span -> accent phrases [(moras, accent_type)].
+
+    Greedy longest-match over the word dictionary; particles attach to the
+    preceding phrase; unmatched kana become their own phrase (accent 0);
+    unmatched kanji fall back to the single-character table or are skipped
+    with a warning."""
+    words, kanji = _load_dicts()
+    phrases: List[Tuple[List[str], int]] = []
+    skipped: List[str] = []
+    i = 0
+    n = len(sentence)
+    current: List[str] = []  # moras of the phrase being built
+    current_accent = 0
+    has_head = False  # current phrase has a content word
+
+    def flush():
+        nonlocal current, current_accent, has_head
+        if current:
+            phrases.append((current, current_accent))
+        current, current_accent, has_head = [], 0, False
+
+    def match_word(pos: int, allow_kana: bool) -> Optional[str]:
+        """Longest dictionary word at pos. Kana-only words match only at a
+        phrase start (allow_kana): with no morphology there is no evidence
+        for a word boundary inside a running kana span, and greedy matches
+        there split morphemes (がっこう must not break at こう)."""
+        for l in range(min(_max_word_len, n - pos), 0, -1):
+            cand = sentence[pos : pos + l]
+            if cand in words and (allow_kana or any(_is_kanji(c) for c in cand)):
+                return cand
+        return None
+
+    while i < n:
+        # particle attachment: after a content word or an ongoing kana run
+        if has_head or current:
+            matched_particle = None
+            for p in _PARTICLES:
+                if sentence.startswith(p, i):
+                    # not a particle if a (kanji-bearing) word starts here
+                    longest_word = match_word(i, allow_kana=False)
+                    if longest_word is None or len(longest_word) <= len(p):
+                        matched_particle = p
+                    break
+            if matched_particle:
+                reading = "".join(
+                    _PARTICLE_READING.get(c, c) for c in matched_particle
+                )
+                current.extend(kana_to_moras(reading))
+                i += len(matched_particle)
+                continue
+        # longest dictionary word
+        matched = match_word(i, allow_kana=not current)
+        if matched:
+            flush()
+            reading, accent = words[matched]
+            current = kana_to_moras(reading)
+            current_accent = accent
+            has_head = True
+            i += len(matched)
+            continue
+        ch = sentence[i]
+        if _is_kana(ch):
+            # raw kana: continue the current phrase (verb endings, okurigana)
+            if ch == _CHOUON or _kata_to_hira(ch) == _CHOUON:
+                # long-vowel mark needs the previous mora's vowel
+                prev = current[-1] if current else ""
+                if prev and prev[-1] in "aiueo":
+                    current.append(prev[-1])
+                i += 1
+                continue
+            two = _kata_to_hira(sentence[i : i + 2])
+            if two in _KANA_MAP:
+                current.extend(kana_to_moras(two))
+                i += 2
+            else:
+                current.extend(kana_to_moras(ch))
+                i += 1
+            continue
+        if _is_kanji(ch):
+            rd = kanji.get(ch)
+            if rd is None and ch == "々" and i > 0:
+                rd = kanji.get(sentence[i - 1])
+            if rd is None:
+                skipped.append(ch)
+            else:
+                flush()
+                current = kana_to_moras(rd)
+                current_accent = 0
+                has_head = True
+            i += 1
+            continue
+        i += 1  # ascii/digits inside a span: handled upstream, skip here
+    flush()
+    if skipped:
         warnings.warn(
-            "kanji in Japanese input cannot be read without a morphological "
-            "dictionary and were skipped; supply kana",
+            f"unknown kanji skipped (not in vendored tables): {''.join(skipped)}",
             stacklevel=3,
         )
-    romaji = "".join(out)
+    return phrases
+
+
+def _assemble_with_accent(phrases: List[Tuple[List[str], int]]) -> str:
+    """Moras + accent types -> romaji string with the reference's arrows
+    (reference japanese.py:95-112: '↓' after the nucleus mora, elif '↑'
+    after mora 1, ' ' between accent phrases)."""
+    parts: List[str] = []
+    for moras, accent in phrases:
+        if not moras:
+            continue
+        moras = _devoice(moras, accent)
+        s = ""
+        n = len(moras)
+        for j, m in enumerate(moras, start=1):
+            s += m
+            if j < n:
+                if j == accent:
+                    s += "↓"
+                elif j == 1:
+                    s += "↑"
+        parts.append(s)
+    return " ".join(parts)
+
+
+def kana_to_romaji(text: str) -> str:
+    """Kana span -> Open-JTalk-style romaji with ʧ/ʃ/Q substitutions applied
+    (no accent arrows — the flat-assembly helper kept for compatibility)."""
+    romaji = "".join(kana_to_moras(text))
     return romaji.replace("ch", "ʧ").replace("sh", "ʃ").replace("cl", "Q")
 
 
@@ -149,7 +358,8 @@ def symbols_to_japanese(text: str) -> str:
 
 
 def japanese_to_romaji_with_accent(text: str) -> str:
-    """Kana text -> romaji; accent arrows omitted (no accent dictionary)."""
+    """Text (kanji + kana) -> romaji with pitch-accent arrows
+    (reference: text/japanese.py:74-112)."""
     from stabletts_tpu.text.english import asciify
 
     text = symbols_to_japanese(text)
@@ -158,9 +368,11 @@ def japanese_to_romaji_with_accent(text: str) -> str:
     out = ""
     for i, sentence in enumerate(sentences):
         if sentence:
-            if out:
-                out += " "
-            out += kana_to_romaji(sentence)
+            assembled = _assemble_with_accent(_segment(sentence))
+            if assembled:
+                if out:
+                    out += " "
+                out += assembled.replace("ch", "ʧ").replace("sh", "ʃ").replace("cl", "Q")
         if i < len(marks):
             out += asciify(marks[i]).replace(" ", "")
     return out

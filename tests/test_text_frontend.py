@@ -148,11 +148,12 @@ def test_japanese_sokuon_hatsuon():
     assert "m" in text2
 
 
-def test_japanese_kanji_warns():
+def test_japanese_unknown_kanji_warns():
     from stabletts_tpu.text.japanese import japanese_to_ipa2
 
+    # common kanji now read via the vendored tables; only the rare tail warns
     with pytest.warns(UserWarning):
-        japanese_to_ipa2("日本語")
+        japanese_to_ipa2("鸙")
 
 
 def test_katakana():

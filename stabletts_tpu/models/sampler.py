@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from stabletts_tpu.models.stabletts import StableTTS
-from stabletts_tpu.ops.ode import odeint
+from stabletts_tpu.ops.ode import ADAPTIVE_SOLVERS, odeint
 
 
 def cast_tree(tree, dtype):
@@ -98,7 +98,18 @@ def synthesise(
         )
 
     t_span = jnp.linspace(0.0, 1.0, n_timesteps + 1).astype(noise.dtype)
-    mel = odeint(f, noise * temperature, t_span, method=solver)
+    ode_kwargs = {}
+    if solver in ADAPTIVE_SOLVERS:
+        # restrict the adaptive error norm to the un-padded region: frames
+        # beyond requested_len exist only for attention-block alignment and
+        # have identically-zero velocity, which would deflate the RMS error
+        # ratio by sqrt(T_valid/T_padded) vs the reference's torchdiffeq call
+        frame_valid = (jnp.arange(max_mel_len) < requested_len)[None, :, None]
+        ode_kwargs = dict(
+            err_weight=frame_valid,
+            err_count=noise.shape[0] * requested_len * noise.shape[2],
+        )
+    mel = odeint(f, noise * temperature, t_span, method=solver, **ode_kwargs)
     return {
         "encoder_outputs": mu_y[:, :requested_len].astype(jnp.float32),
         "decoder_outputs": mel[:, :requested_len].astype(jnp.float32),

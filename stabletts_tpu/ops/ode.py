@@ -114,15 +114,22 @@ def _odeint_implicit_adams(f, y0, t_span, rk4_step):
     return y_final
 
 
-# Embedded Runge-Kutta Butcher tableaus: (c, a, b_high, b_low, err_order).
-# err_order is the lower order q; the step controller uses exponent 1/(q+1),
-# matching torchdiffeq's adaptive solvers of the same names (webui.py:110).
+# Embedded Runge-Kutta Butcher tableaus in torchdiffeq's representation:
+# (alpha [s-1], beta rows, c_sol [s], c_error [s], order, c_mid [s]).
+# c_error is b_high - b_low; torchdiffeq's dopri5 inherits the tf-contrib
+# odes port's 4th-order weights (1951/21600, ...) which differ slightly from
+# the textbook 5179/57600 set — reproduced here for trajectory parity with
+# the reference's `torchdiffeq.odeint(..., method=solver)` call
+# (reference: models/flow_matching.py:54, webui.py:110).
+# c_mid defines y(t0+dt/2) for the quartic dense-output interpolant; dopri5's
+# is torchdiffeq's DPS_C_MID, bosh3's its _BS_C_MID; the two order-2 solvers
+# use c_sol/2 (a 2nd-order midpoint estimate, matching the solver's order).
+_DOPRI5_B_LOW = [1951 / 21600, 0.0, 22642 / 50085, 451 / 720, -12231 / 42400, 649 / 6300, 1 / 60]
 _TABLEAUS = {
     # Dormand-Prince 5(4)
     "dopri5": (
-        [0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0],
+        [1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0],
         [
-            [],
             [1 / 5],
             [3 / 40, 9 / 40],
             [44 / 45, -56 / 15, 32 / 9],
@@ -131,32 +138,40 @@ _TABLEAUS = {
             [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84],
         ],
         [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0],
-        [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40],
-        4,
+        [h - l for h, l in zip([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0], _DOPRI5_B_LOW)],
+        5,
+        [
+            6025192743 / 30085553152 / 2, 0.0, 51252292925 / 65400821598 / 2,
+            -2691868925 / 45128329728 / 2, 187940372067 / 1594534317056 / 2,
+            -1776094331 / 19743644256 / 2, 11237099 / 235043384 / 2,
+        ],
     ),
     # Bogacki-Shampine 3(2)
     "bosh3": (
-        [0.0, 1 / 2, 3 / 4, 1.0],
-        [[], [1 / 2], [0.0, 3 / 4], [2 / 9, 1 / 3, 4 / 9]],
+        [1 / 2, 3 / 4, 1.0],
+        [[1 / 2], [0.0, 3 / 4], [2 / 9, 1 / 3, 4 / 9]],
         [2 / 9, 1 / 3, 4 / 9, 0.0],
-        [7 / 24, 1 / 4, 1 / 3, 1 / 8],
-        2,
+        [2 / 9 - 7 / 24, 1 / 3 - 1 / 4, 4 / 9 - 1 / 3, -1 / 8],
+        3,
+        [0.0, 0.5, 0.0, 0.0],
     ),
     # Runge-Kutta-Fehlberg 2(1)
     "fehlberg2": (
-        [0.0, 1 / 2, 1.0],
-        [[], [1 / 2], [1 / 256, 255 / 256]],
+        [1 / 2, 1.0],
+        [[1 / 2], [1 / 256, 255 / 256]],
         [1 / 512, 255 / 256, 1 / 512],
-        [1 / 256, 255 / 256, 0.0],
-        1,
+        [1 / 512 - 1 / 256, 0.0, 1 / 512],
+        2,
+        [1 / 1024, 255 / 512, 1 / 1024],
     ),
     # Heun-Euler 2(1)
     "adaptive_heun": (
-        [0.0, 1.0],
-        [[], [1.0]],
+        [1.0],
+        [[1.0]],
         [1 / 2, 1 / 2],
-        [1.0, 0.0],
-        1,
+        [-1 / 2, 1 / 2],
+        2,
+        [1 / 4, 1 / 4],
     ),
 }
 
@@ -170,71 +185,166 @@ def odeint_adaptive(
     rtol: float = 1e-5,
     atol: float = 1e-5,
     max_steps: int = 256,
-    first_step: float = 0.05,
+    first_step: float | None = None,
+    err_weight: jnp.ndarray | None = None,
+    err_count: int | None = None,
 ) -> jnp.ndarray:
-    """Adaptive embedded-RK integration with a bounded iteration count.
+    """Adaptive embedded-RK integration matching torchdiffeq's algorithm.
 
     Runs under jit via lax.while_loop capped at max_steps accepted+rejected
     attempts; replaces torchdiffeq's adaptive solvers (dopri5/bosh3/fehlberg2/
-    adaptive_heun) for inference API parity.
+    adaptive_heun) with trajectory-level parity:
+
+    * first_step=None selects the initial step like torchdiffeq's
+      `_select_initial_step` (Hairer I.4 heuristic: two extra f evals at t0).
+    * steps are NOT clamped at t1 — the solver overshoots the interval end and
+      the result at t1 is read from the 4th-order dense-output interpolant of
+      the final accepted step, exactly like torchdiffeq's `_interp_evaluate`.
+    * step controller: factor = min(10, max(0.9 / e^(1/order), dfactor)) with
+      dfactor = 1 on accepted steps (dt never shrinks on accept) and 0.2 on
+      rejected, e = RMS of error / (atol + rtol·max(|y0|,|y1|)).
+    * FSAL: the next step's f0 is the last stage's k, not a fresh f(t1, y1).
 
     The step controller (t, dt, error norm) and the stage accumulation run in
     float32 regardless of y0.dtype: with a bf16 state the controller would
     quantize t/dt (verified: dy/dt=y over [0,1] in bf16 time gives 2.859 vs
     e=2.718 and can exhaust max_steps mid-trajectory). Only the f(t, y) calls
     see y0.dtype, so a bf16 network still computes in bf16.
+
+    err_weight/err_count restrict the RMS error norm to the valid region of a
+    padded state (weight broadcastable to y, 1 at valid elements; count = the
+    number of valid elements). The serving path pads the mel length to an
+    attention-block multiple (models/sampler.py) — without the mask the norm
+    averages over pad frames whose velocity is identically zero, deflating
+    the error ratio by sqrt(T_pad/T_valid) and silently loosening step
+    control relative to the reference's unpadded torchdiffeq call.
+
+    Caveat for TPU serving: the embedded error estimate sits on top of the
+    network's own matmul noise. With default TPU matmul precision (bf16
+    inputs) that noise floor is ~1e-2 relative, far above rtol/atol=1e-5, so
+    the controller step-thrashes. Fixed-step solvers are the recommended
+    production path (as the reference's README also recommends 10-30 fixed
+    steps); adaptive solvers exist for API/behavior parity and run best at
+    f32 matmul precision.
     """
-    c_t, a_t, bh_t, bl_t, err_order = _TABLEAUS[method]
-    n_stages = len(c_t)
-    exponent = -1.0 / (err_order + 1)
+    alpha, beta, c_sol, c_err, order, c_mid = _TABLEAUS[method]
+    n_stages = len(c_sol)
     y_dtype = jnp.result_type(y0)
     f32 = jnp.float32
+    is_fsal = c_sol[-1] == 0.0 and list(beta[-1]) == list(c_sol[:-1])
 
-    def rk_step(t, dt, y):
+    def f32_eval(t, y):
+        return f(t, y.astype(y_dtype)).astype(f32)
+
+    if err_weight is None:
+        def rms(x):
+            return jnp.sqrt(jnp.mean(x.astype(f32) ** 2))
+    else:
+        w = err_weight.astype(f32)
+        cnt = f32(err_count if err_count is not None else y0.size)
+
+        def rms(x):
+            return jnp.sqrt(jnp.sum((x.astype(f32) * w) ** 2) / cnt)
+
+    def rk_step(t, dt, y, f0):
         # y, ks, and the combination arithmetic are f32; f is called at y_dtype
-        ks = []
-        for i in range(n_stages):
+        ks = [f0]
+        for i in range(n_stages - 1):
             yi = y
-            for j, a in enumerate(a_t[i]):
-                if a != 0.0:
-                    yi = yi + dt * a * ks[j]
-            ks.append(f(t + dt * c_t[i], yi.astype(y_dtype)).astype(f32))
-        y_hi = y
+            for j, b in enumerate(beta[i]):
+                if b != 0.0:
+                    yi = yi + dt * b * ks[j]
+            ks.append(f32_eval(t + dt * alpha[i], yi))
+        if is_fsal:
+            y1 = yi  # the last stage input IS y1 (its beta row == c_sol)
+        else:
+            y1 = y
+            for i in range(n_stages):
+                if c_sol[i] != 0.0:
+                    y1 = y1 + dt * c_sol[i] * ks[i]
         err = jnp.zeros_like(y)
+        y_mid = y
         for i in range(n_stages):
-            if bh_t[i] != 0.0:
-                y_hi = y_hi + dt * bh_t[i] * ks[i]
-            d = bh_t[i] - bl_t[i]
-            if d != 0.0:
-                err = err + dt * d * ks[i]
-        return y_hi, err
+            if c_err[i] != 0.0:
+                err = err + dt * c_err[i] * ks[i]
+            if c_mid[i] != 0.0:
+                y_mid = y_mid + dt * c_mid[i] * ks[i]
+        return y1, ks[-1], err, y_mid
 
-    def err_norm(y, y_new, err):
+    def interp_fit(ya, yb, y_mid, fa, fb, dt):
+        # torchdiffeq _interp_fit: quartic through (ya, y_mid, yb) with end
+        # slopes dt*fa / dt*fb in x = (t - t0)/dt coordinates
+        a = 2.0 * dt * (fb - fa) - 8.0 * (yb + ya) + 16.0 * y_mid
+        b = dt * (5.0 * fa - 3.0 * fb) + 18.0 * ya + 14.0 * yb - 32.0 * y_mid
+        c = dt * (fb - 4.0 * fa) - 11.0 * ya - 5.0 * yb + 16.0 * y_mid
+        d = dt * fa
+        return jnp.stack([a, b, c, d, ya])
+
+    def err_ratio(y, y_new, err):
         scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
-        return jnp.sqrt(jnp.mean((err / scale) ** 2))
+        return rms(err / scale)
+
+    y0f = y0.astype(f32)
+    t0 = jnp.asarray(t0, dtype=f32)
+    t1 = jnp.asarray(t1, dtype=f32)
+    f0 = f32_eval(t0, y0f)
+
+    if first_step is None:
+        # torchdiffeq _select_initial_step (called with order-1, so the
+        # exponent is 1/order)
+        iscale = atol + jnp.abs(y0f) * rtol
+        d0 = rms(y0f / iscale)
+        d1 = rms(f0 / iscale)
+        h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), f32(1e-6), 0.01 * d0 / d1)
+        yp = y0f + h0 * f0
+        fp = f32_eval(t0 + h0, yp)
+        d2 = rms((fp - f0) / iscale) / h0
+        h1 = jnp.where(
+            (d1 <= 1e-15) & (d2 <= 1e-15),
+            jnp.maximum(f32(1e-6), h0 * 1e-3),
+            (0.01 / jnp.maximum(d1, d2)) ** (1.0 / order),
+        )
+        dt0 = jnp.minimum(100.0 * h0, h1)
+    else:
+        dt0 = jnp.asarray(first_step, dtype=f32)
 
     def cond(state):
-        t, dt, y, n = state
-        return (t < t1) & (n < max_steps)
+        _, t_cur, _, _, _, _, n = state
+        return (t_cur < t1) & (n < max_steps)
 
     def body(state):
-        t, dt, y, n = state
-        dt = jnp.minimum(dt, t1 - t)
-        y_new, err = rk_step(t, dt, y)
-        e = err_norm(y, y_new, err)
+        t_prev, t_cur, y, fc, dt, coeffs, n = state
+        y_new, f_new, err, y_mid = rk_step(t_cur, dt, y, fc)
+        e = err_ratio(y, y_new, err)
         accept = e <= 1.0
-        factor = jnp.clip(0.9 * (jnp.maximum(e, 1e-10)) ** exponent, 0.2, 10.0)
-        t = jnp.where(accept, t + dt, t)
-        y = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), y, y_new)
-        dt = dt * factor
-        return (t, dt, y, n + 1)
+        coeffs_new = interp_fit(y, y_new, y_mid, fc, f_new, dt)
+        keep = lambda old, new: jnp.where(accept, new, old)
+        # controller: never shrink on accept (dfactor -> 1), e=0 -> max growth
+        dfac = jnp.where(e < 1.0, f32(1.0), f32(0.2))
+        efac = 0.9 * jnp.maximum(e, 1e-10) ** (-1.0 / order)
+        fac = jnp.minimum(f32(10.0), jnp.maximum(efac, dfac))
+        return (
+            keep(t_prev, t_cur),
+            keep(t_cur, t_cur + dt),
+            keep(y, y_new),
+            keep(fc, f_new),
+            dt * fac,
+            keep(coeffs, coeffs_new),
+            n + 1,
+        )
 
-    t = jnp.asarray(t0, dtype=f32)
-    dt = jnp.asarray(first_step, dtype=f32)
-    _, _, y_final, _ = jax.lax.while_loop(
-        cond, body, (t, dt, y0.astype(f32), jnp.asarray(0))
-    )
-    return y_final.astype(y_dtype)
+    coeffs0 = jnp.stack([y0f] * 5)
+    state = (t0, t0, y0f, f0, dt0, coeffs0, jnp.asarray(0))
+    t_prev, t_cur, y_fin, _, _, coeffs, _ = jax.lax.while_loop(cond, body, state)
+
+    # dense-output evaluation at t1 (torchdiffeq _interp_evaluate); if the
+    # last accepted step landed exactly on t1 this reduces to y_fin
+    span = jnp.maximum(t_cur - t_prev, 1e-30)
+    x = jnp.clip((t1 - t_prev) / span, 0.0, 1.0)
+    a, b, c, d, e_ = coeffs
+    y_out = (((a * x + b) * x + c) * x + d) * x + e_
+    y_out = jnp.where(t_cur > t_prev, y_out, y_fin)
+    return y_out.astype(y_dtype)
 
 
 def odeint_dopri5(f, y0, t0, t1, **kwargs) -> jnp.ndarray:

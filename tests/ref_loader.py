@@ -43,9 +43,8 @@ def _install_stubs():
 
         td = types.ModuleType("torchdiffeq")
 
-        def odeint(func, y0, t, method="euler", rtol=None, atol=None):
+        def _odeint_euler(func, y0, t):
             """Fixed-grid euler identical to torchdiffeq's grid stepping."""
-            assert method in (None, "euler"), f"stub only supports euler, got {method}"
             ys = [y0]
             y = y0
             for i in range(len(t) - 1):
@@ -53,6 +52,159 @@ def _install_stubs():
                 y = y + dt * func(t[i], y)
                 ys.append(y)
             return torch.stack(ys)
+
+        # Faithful reimplementation of torchdiffeq's adaptive RK solvers
+        # (rk_common.py): Hairer initial-step selection, RMS error norm,
+        # accept/reject controller with dfactor->1 on accept, FSAL, and
+        # 4th-order dense-output interpolation at the requested times.
+        # Tableaus use torchdiffeq's constants (dopri5 error weights are the
+        # tf-contrib 1951/21600 family, NOT the textbook 5179/57600 set).
+        _DP5_SOL = [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0]
+        _DP5_LOW = [1951 / 21600, 0.0, 22642 / 50085, 451 / 720, -12231 / 42400, 649 / 6300, 1 / 60]
+        _ADAPTIVE_TABLEAUS = {
+            "dopri5": dict(
+                alpha=[1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0],
+                beta=[
+                    [1 / 5],
+                    [3 / 40, 9 / 40],
+                    [44 / 45, -56 / 15, 32 / 9],
+                    [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729],
+                    [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
+                    [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84],
+                ],
+                c_sol=_DP5_SOL,
+                c_error=[h - l for h, l in zip(_DP5_SOL, _DP5_LOW)],
+                order=5,
+                c_mid=[
+                    6025192743 / 30085553152 / 2, 0.0, 51252292925 / 65400821598 / 2,
+                    -2691868925 / 45128329728 / 2, 187940372067 / 1594534317056 / 2,
+                    -1776094331 / 19743644256 / 2, 11237099 / 235043384 / 2,
+                ],
+            ),
+            "bosh3": dict(
+                alpha=[1 / 2, 3 / 4, 1.0],
+                beta=[[1 / 2], [0.0, 3 / 4], [2 / 9, 1 / 3, 4 / 9]],
+                c_sol=[2 / 9, 1 / 3, 4 / 9, 0.0],
+                c_error=[2 / 9 - 7 / 24, 1 / 3 - 1 / 4, 4 / 9 - 1 / 3, -1 / 8],
+                order=3,
+                c_mid=[0.0, 0.5, 0.0, 0.0],
+            ),
+            "fehlberg2": dict(
+                alpha=[1 / 2, 1.0],
+                beta=[[1 / 2], [1 / 256, 255 / 256]],
+                c_sol=[1 / 512, 255 / 256, 1 / 512],
+                c_error=[1 / 512 - 1 / 256, 0.0, 1 / 512],
+                order=2,
+                c_mid=[1 / 1024, 255 / 512, 1 / 1024],
+            ),
+            "adaptive_heun": dict(
+                alpha=[1.0],
+                beta=[[1.0]],
+                c_sol=[1 / 2, 1 / 2],
+                c_error=[-1 / 2, 1 / 2],
+                order=2,
+                c_mid=[1 / 4, 1 / 4],
+            ),
+        }
+
+        import numpy as _np
+
+        def _rms(x):
+            # torchdiffeq's _rms_norm keeps the tensor dtype (f32 here)
+            return _np.float32(torch.sqrt(torch.mean(x ** 2)))
+
+        def _odeint_adaptive(func, y0, t, method, rtol, atol, max_steps=10000):
+            # controller scalars (t, dt, error ratio, factors) are all
+            # np.float32, matching torchdiffeq's f32 tensor arithmetic — and
+            # the f32 controller in stabletts_tpu/ops/ode.py being verified
+            tab = _ADAPTIVE_TABLEAUS[method]
+            alpha, beta = tab["alpha"], tab["beta"]
+            c_sol, c_err, c_mid = tab["c_sol"], tab["c_error"], tab["c_mid"]
+            order = tab["order"]
+            is_fsal = c_sol[-1] == 0.0 and list(beta[-1]) == list(c_sol[:-1])
+            f32 = _np.float32
+            rtol, atol = f32(rtol), f32(atol)
+            t = [f32(ti) for ti in t]
+            t0 = t[0]
+            y = y0.clone()
+            f0 = func(torch.tensor(t0), y)
+
+            # _select_initial_step (called with order - 1 -> exponent 1/order)
+            scale = atol + y.abs() * rtol
+            d0, d1 = _rms(y / scale), _rms(f0 / scale)
+            h0 = f32(1e-6) if (d0 < 1e-5 or d1 < 1e-5) else f32(0.01) * d0 / d1
+            fp = func(torch.tensor(t0 + h0), y + h0 * f0)
+            d2 = f32(_rms((fp - f0) / scale) / h0)
+            if d1 <= 1e-15 and d2 <= 1e-15:
+                h1 = max(f32(1e-6), f32(h0 * f32(1e-3)))
+            else:
+                h1 = f32(f32(0.01 / max(d1, d2)) ** f32(1.0 / order))
+            dt = min(f32(100) * h0, h1)
+
+            t_prev, t_cur, fc = t0, t0, f0
+            coeffs = [y.clone()] * 5
+            outs = [y0]
+            ti = 1
+
+            def interp_at(tq):
+                span = f32(t_cur - t_prev)
+                x = f32(0.0) if span <= 0 else f32((tq - t_prev) / span)
+                a, b, c, d_, e_ = coeffs
+                return (((a * x + b) * x + c) * x + d_) * x + e_
+
+            n = 0
+            while ti < len(t):
+                if t[ti] <= t_cur:
+                    outs.append(interp_at(t[ti]))
+                    ti += 1
+                    continue
+                assert n < max_steps, "max steps exceeded"
+                n += 1
+                # one attempted RK step of size dt from (t_cur, y, fc)
+                ks = [fc]
+                yi = y
+                for i in range(len(alpha)):
+                    yi = y
+                    for j, b_ in enumerate(beta[i]):
+                        if b_ != 0.0:
+                            yi = yi + dt * b_ * ks[j]
+                    ks.append(func(torch.tensor(f32(t_cur + f32(dt * f32(alpha[i])))), yi))
+                if is_fsal:
+                    y1 = yi
+                else:
+                    y1 = y
+                    for i, cs in enumerate(c_sol):
+                        if cs != 0.0:
+                            y1 = y1 + dt * cs * ks[i]
+                err = torch.zeros_like(y)
+                y_mid = y
+                for i in range(len(c_sol)):
+                    if c_err[i] != 0.0:
+                        err = err + dt * c_err[i] * ks[i]
+                    if c_mid[i] != 0.0:
+                        y_mid = y_mid + dt * c_mid[i] * ks[i]
+                etol = atol + rtol * torch.maximum(y.abs(), y1.abs())
+                e = _rms(err / etol)
+                accept = e <= 1.0
+                dfac = f32(1.0) if e < 1.0 else f32(0.2)
+                efac = f32(f32(0.9) * f32(max(e, f32(1e-10)) ** f32(-1.0 / order)))
+                fac = min(f32(10.0), max(efac, dfac))
+                if accept:
+                    f1 = ks[-1]
+                    a = 2.0 * dt * (f1 - fc) - 8.0 * (y1 + y) + 16.0 * y_mid
+                    b = dt * (5.0 * fc - 3.0 * f1) + 18.0 * y + 14.0 * y1 - 32.0 * y_mid
+                    c = dt * (f1 - 4.0 * fc) - 11.0 * y - 5.0 * y1 + 16.0 * y_mid
+                    coeffs = [a, b, c, dt * fc, y.clone()]
+                    t_prev, t_cur, y, fc = t_cur, f32(t_cur + dt), y1, f1
+                dt = f32(dt * fac)
+            return torch.stack(outs)
+
+        def odeint(func, y0, t, method="euler", rtol=1e-7, atol=1e-9):
+            if method in (None, "euler"):
+                return _odeint_euler(func, y0, t)
+            if method in _ADAPTIVE_TABLEAUS:
+                return _odeint_adaptive(func, y0, t, method, rtol, atol)
+            raise NotImplementedError(f"stub does not support method={method!r}")
 
         td.odeint = odeint
         sys.modules["torchdiffeq"] = td

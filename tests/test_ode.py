@@ -1,7 +1,10 @@
-"""ODE solver tests: convergence on analytic problems and torchdiffeq-grid
-semantics (step sizes = grid diffs)."""
+"""ODE solver tests: convergence on analytic problems, torchdiffeq-grid
+semantics (step sizes = grid diffs), and adaptive-solver trajectory parity
+against a faithful torch reimplementation of torchdiffeq's algorithm
+(tests/ref_loader.py)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from stabletts_tpu.ops.ode import odeint, odeint_fixed, odeint_dopri5
@@ -76,9 +79,14 @@ def test_adaptive_solvers_jit_with_batched_state():
 
     f = lambda t, y: -y
     y0 = jnp.ones((2, 8, 4))
+    # 5e-3: torchdiffeq semantics overshoot t=1 and interpolate back with a
+    # quartic whose midpoint estimate is only solver-order accurate, so the
+    # low-order solvers land ~2e-3 off the analytic value (as torchdiffeq
+    # itself does) — trajectory parity is asserted separately in
+    # test_adaptive_trajectory_parity_vs_torchdiffeq
     for method in ("bosh3", "adaptive_heun"):
         y = jax.jit(lambda y0: odeint(f, y0, jnp.linspace(0.0, 1.0, 2), method=method))(y0)
-        np.testing.assert_allclose(np.asarray(y), np.exp(-1.0), rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(y), np.exp(-1.0), rtol=5e-3)
 
 
 def test_dispatch_and_nonuniform_grid():
@@ -92,6 +100,45 @@ def test_dispatch_and_nonuniform_grid():
     for dt in np.diff(tn):
         expected *= 1 - dt
     np.testing.assert_allclose(float(y), expected, rtol=1e-6)
+
+
+@pytest.mark.parametrize("method", ["dopri5", "bosh3", "fehlberg2", "adaptive_heun"])
+def test_adaptive_trajectory_parity_vs_torchdiffeq(method):
+    """Step-for-step parity with torchdiffeq's adaptive solvers (reference:
+    models/flow_matching.py:54 rtol/atol=1e-5): same initial-step selection,
+    same accept/reject controller, same dense-output interpolation at t=1.
+
+    The oracle is tests/ref_loader.py's faithful torch reimplementation of
+    torchdiffeq's rk_common.py. On a 6-dim linear+forcing system the final
+    states agree to ~1e-6 (the residual is f-eval ulp noise flipping no
+    accept/reject decisions at this size)."""
+    torch = pytest.importorskip("torch")
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ref_loader import _install_stubs
+
+    _install_stubs()
+    import torchdiffeq
+
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((6, 6)).astype(np.float32) * 0.8
+    y0 = rng.standard_normal((4, 6)).astype(np.float32)
+
+    def ft(t, y):
+        return y @ torch.from_numpy(A).T + torch.sin(3.0 * t) * 0.5
+
+    def fj(t, y):
+        return y @ jnp.asarray(A).T + jnp.sin(3.0 * t) * 0.5
+
+    ref = torchdiffeq.odeint(
+        ft, torch.from_numpy(y0), torch.linspace(0, 1, 11), method=method,
+        rtol=1e-5, atol=1e-5,
+    )[-1].numpy()
+    got = np.asarray(
+        odeint(fj, jnp.asarray(y0), jnp.linspace(0.0, 1.0, 11), method=method, max_steps=20000)
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 
 def test_adaptive_bf16_state_keeps_f32_controller():

@@ -157,13 +157,9 @@ def test_estimator_parity(pair):
     np.testing.assert_allclose(np.asarray(got), ref_out.transpose(0, 2, 1), rtol=5e-4, atol=5e-4)
 
 
-@pytest.mark.parametrize("cfg", [1.0, 3.0])
-def test_synthesise_parity_euler(pair, inputs, cfg):
-    """End-to-end synthesise: text ids -> mel, 4 euler steps, fixed noise
-    (reference: models/model.py:48-112 with stubbed torchdiffeq euler)."""
+def _synthesise_parity(pair, inputs, cfg, solver, n_steps, mel_tol, mae_tol):
     ref_tts, model, variables = pair
     x, x_lengths, z, _ = inputs
-    n_steps = 4
 
     # run reference first to learn y_max_length, with patched noise
     rng = np.random.default_rng(6)
@@ -182,7 +178,7 @@ def test_synthesise_parity_euler(pair, inputs, cfg):
             ref_out = ref_tts.synthesise(
                 torch.from_numpy(x), torch.from_numpy(x_lengths), n_steps,
                 temperature=1.0, y=torch.from_numpy(z.transpose(0, 2, 1)),
-                length_scale=1.0, solver="euler", cfg=cfg,
+                length_scale=1.0, solver=solver, cfg=cfg,
             )
     finally:
         torch.randn_like = orig_randn_like
@@ -196,7 +192,7 @@ def test_synthesise_parity_euler(pair, inputs, cfg):
     got = synthesise(
         model, variables, jnp.asarray(x, jnp.int32), jnp.asarray(x_lengths, jnp.int32),
         jnp.asarray(noise), jnp.asarray(z), n_timesteps=n_steps, cfg=cfg,
-        solver="euler", max_mel_len=max_len,
+        solver=solver, max_mel_len=max_len,
     )
     got_mel = np.asarray(got["decoder_outputs"]).transpose(0, 2, 1)
 
@@ -207,6 +203,23 @@ def test_synthesise_parity_euler(pair, inputs, cfg):
     np.testing.assert_array_equal(y_lengths, ref_y_lengths)
     for i in range(x.shape[0]):
         L = y_lengths[i]
-        np.testing.assert_allclose(got_mel[i, :, :L], ref_mel[i, :, :L], rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(got_mel[i, :, :L], ref_mel[i, :, :L], rtol=mel_tol, atol=mel_tol)
     mae = float(np.abs(got_mel[0, :, : y_lengths[0]] - ref_mel[0, :, : y_lengths[0]]).mean())
-    assert mae < 5e-4, f"mel MAE too high: {mae}"
+    assert mae < mae_tol, f"mel MAE too high: {mae}"
+
+
+@pytest.mark.parametrize("cfg", [1.0, 3.0])
+def test_synthesise_parity_euler(pair, inputs, cfg):
+    """End-to-end synthesise: text ids -> mel, 4 euler steps, fixed noise
+    (reference: models/model.py:48-112 with stubbed torchdiffeq euler)."""
+    _synthesise_parity(pair, inputs, cfg, "euler", n_steps=4, mel_tol=1e-3, mae_tol=5e-4)
+
+
+def test_synthesise_parity_dopri5(pair, inputs):
+    """End-to-end synthesise with the adaptive dopri5 solver — the notebook's
+    showcased configuration (reference: inference.ipynb cell 2, rtol/atol=1e-5
+    at models/flow_matching.py:54). The reference side runs ref_loader's
+    faithful torchdiffeq reimplementation; both sides select the initial step,
+    control step size, and interpolate at t=1 identically, so the mel parity
+    bound is fp32 accumulation noise, not solver tolerance."""
+    _synthesise_parity(pair, inputs, 1.0, "dopri5", n_steps=10, mel_tol=2e-3, mae_tol=5e-4)

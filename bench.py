@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--skip-selftest", action="store_true",
+                    help="skip the on-chip Pallas kernel selftest gate")
     args = ap.parse_args()
 
     import jax
@@ -51,6 +53,21 @@ def main():
 
     import jax.numpy as jnp
     import numpy as np
+
+    # kernel-validation gate: on TPU, every bench number implies the Pallas
+    # kernels passed their on-chip oracle checks (a broken kernel edit fails
+    # the bench instead of producing a wrong-but-fast number)
+    selftest = "skipped"
+    if not args.skip_selftest and jax.devices()[0].platform == "tpu":
+        from tools.tpu_selftest import main as selftest_main
+
+        try:
+            selftest_main()
+            selftest = "pass"
+        except SystemExit as e:
+            if e.code:
+                print(json.dumps({"error": "kernel selftest failed"}), file=sys.stderr)
+                raise
 
     from stabletts_tpu.config import MelConfig, VocosConfig
     from stabletts_tpu.models import build_stabletts, init_stabletts_params
@@ -131,6 +148,7 @@ def main():
             "compile_s": round(compile_s, 1),
             "dtype": args.dtype,
             "platform": jax.devices()[0].platform,
+            "kernel_selftest": selftest,
         },
     }
     print(json.dumps(result))

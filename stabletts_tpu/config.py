@@ -78,6 +78,10 @@ class TrainConfig:
     bucket_boundaries: Tuple[int, ...] = (32, 300, 400, 500, 600, 700, 800, 900, 1000)
     max_text_len: int = 512
     compute_dtype: str = "float32"  # or "bfloat16"
+    # async input pipeline (reference: train.py:55 DataLoader num_workers=4);
+    # loader_workers=0 disables prefetch (synchronous loading, for debugging)
+    loader_workers: int = 4
+    prefetch_depth: int = 8
 
 
 @dataclass(frozen=True)

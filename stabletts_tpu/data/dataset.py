@@ -88,9 +88,17 @@ def collate(
     pad_mel_to: int,
     pad_text_to: int,
     n_mels: int,
-    rng: np.random.Generator,
+    rng,
 ) -> Batch:
-    """Pad a batch of items to the static (pad_text_to, pad_mel_to) shape."""
+    """Pad a batch of items to the static (pad_text_to, pad_mel_to) shape.
+
+    rng is either a np.random.Generator (z-slices drawn sequentially — batch
+    randomness then depends on iteration order) or a seed-prefix sequence of
+    ints: each item's slice PRNG becomes default_rng(SeedSequence([*prefix,
+    item_idx])), which makes the assembled global batch independent of rank
+    count, loader-worker scheduling, and batch order — required for
+    1-process vs N-process training equality (tests/test_multiprocess.py).
+    """
     b = len(indices)
     # slices are at most T/3 long, so the z buffer's shape is static per bucket
     z_len = _round_up(max(pad_mel_to // 3, 12), 64)
@@ -100,6 +108,7 @@ def collate(
     yl = np.zeros((b,), dtype=np.int32)
     z = np.zeros((b, z_len, n_mels), dtype=np.float32)
     zl = np.zeros((b,), dtype=np.int32)
+    seq_rng = rng if isinstance(rng, np.random.Generator) else None
     for i, idx in enumerate(indices):
         mel = dataset.load_mel(idx)
         ids = dataset.phone_ids(idx)
@@ -109,7 +118,10 @@ def collate(
         yl[i] = t_mel
         x[i, :t_txt] = ids[:t_txt]
         xl[i] = t_txt
-        sl = random_slice(mel[:t_mel], rng)
+        item_rng = seq_rng if seq_rng is not None else np.random.default_rng(
+            np.random.SeedSequence([*rng, int(idx)])
+        )
+        sl = random_slice(mel[:t_mel], item_rng)
         t_sl = min(sl.shape[0], z_len)
         z[i, :t_sl] = sl[:t_sl]
         zl[i] = t_sl

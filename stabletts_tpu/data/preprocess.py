@@ -36,11 +36,15 @@ def get_g2p(language: str) -> Callable[[str], List[str]]:
     from stabletts_tpu.text.english import english_to_ipa2
     from stabletts_tpu.text.japanese import japanese_to_ipa2
     from stabletts_tpu.text.mandarin import chinese_to_cnm3
+    from stabletts_tpu.text.router import auto_g2p
 
     mapping = {
         "chinese": chinese_to_cnm3,
         "english": english_to_ipa2,
         "japanese": japanese_to_ipa2,
+        # per-span language routing for mixed corpora (text/router.py) — the
+        # reference's cjke_cleaners4 intent (dead+buggy there, working here)
+        "auto": auto_g2p,
     }
     if language not in mapping:
         raise ValueError(f"unsupported language {language!r}")

@@ -122,12 +122,19 @@ def _round_up(n, m):
     return -(-n // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=())
-def maximum_path_pallas(neg_cent: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def maximum_path_pallas(
+    neg_cent: jnp.ndarray, mask: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
     """Drop-in replacement for ops.mas.maximum_path on TPU.
 
     neg_cent: [B, Ty, Tx] log-likelihoods; mask: [B, Ty, Tx] validity.
     Returns the binary path [B, Ty, Tx] (float32).
+
+    interpret=True runs under the Pallas TPU interpreter (CPU emulation of
+    the DMA/semaphore semantics) so CI covers this kernel without hardware;
+    tools/tpu_selftest.py (invoked by bench.py) validates the compiled
+    version on the real chip.
     """
     b, t_y, t_x = neg_cent.shape
     t_ys = mask[:, :, 0].sum(axis=1).astype(jnp.int32)
@@ -169,5 +176,6 @@ def maximum_path_pallas(neg_cent: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t_y, b_pad, t_x_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
     )(t_ys[:, None], t_xs[:, None], neg_t)
     return jnp.swapaxes(path, 0, 1)[:b, :, :t_x]

@@ -94,6 +94,7 @@ def train(
     chips globally; each host feeds its rank-strided shard of every batch.
     """
     from stabletts_tpu.data.dataset import StableDataset, collate
+    from stabletts_tpu.data.prefetch import prefetch
     from stabletts_tpu.data.sampler import DistributedBucketSampler
 
     train_cfg = train_cfg or TrainConfig()
@@ -134,15 +135,30 @@ def train(
 
     for epoch in range(start_epoch, train_cfg.num_epochs):
         sampler.set_epoch(epoch)
-        rng = np.random.default_rng((epoch << 16) + rank)
         t_start = time.time()
         metrics = {}
-        for batch_idx, (bucket, indices) in enumerate(sampler):
-            pad_mel = sampler.bucket_mel_len(bucket)
+
+        def make_device_batch(work):
+            # runs on loader threads: disk reads + padding + H2D transfer all
+            # overlap the device step. The z-slice PRNG is derived per
+            # (seed, epoch, item) inside collate, so batches are identical
+            # regardless of worker count, prefetch depth, resume point, or
+            # process count (1-host and N-host runs see the same global batch).
+            batch_idx, (bucket, indices) = work
             batch = collate(
-                dataset, indices, pad_mel, train_cfg.max_text_len, mel_cfg.n_mels, rng
+                dataset, indices, sampler.bucket_mel_len(bucket),
+                train_cfg.max_text_len, mel_cfg.n_mels, (train_cfg.seed, epoch),
             )
-            device_batch = mesh_lib.shard_batch(mesh, batch.as_tuple())
+            return mesh_lib.shard_batch(mesh, batch.as_tuple())
+
+        if train_cfg.loader_workers > 0:
+            batches = prefetch(
+                enumerate(sampler), make_device_batch,
+                n_workers=train_cfg.loader_workers, depth=train_cfg.prefetch_depth,
+            )
+        else:
+            batches = map(make_device_batch, enumerate(sampler))
+        for batch_idx, device_batch in enumerate(batches):
             state, metrics = train_step(state, device_batch, base_rng)
             if rank == 0 and log_fn is not None and batch_idx % train_cfg.log_interval == 0:
                 log_fn(epoch * steps_per_epoch + batch_idx, jax.device_get(metrics))

@@ -1,0 +1,89 @@
+"""Worker for the 2-process `jax.distributed` integration test
+(tests/test_multiprocess.py). Each process owns 4 virtual CPU devices; the
+pair forms one 8-device SPMD world (the CPU stand-in for a 2-host TPU pod
+slice, replacing the reference's DDP rendezvous at train.py:25-28).
+
+Runs the REAL train() entry point — rank-strided sampler shard,
+make_array_from_process_local_data batch assembly, cross-process psum in the
+jitted step, collective orbax checkpoint saves — then verifies checkpoint
+resume restores the final state bit-exactly, and dumps the final params for
+the parent to compare against a single-process ground-truth run.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rank", type=int, required=True)
+    ap.add_argument("--port", required=True)
+    ap.add_argument("--data-dir", required=True)
+    ap.add_argument("--out-dir", required=True)
+    args = ap.parse_args()
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=4"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        f"localhost:{args.port}", num_processes=2, process_id=args.rank
+    )
+    assert jax.process_count() == 2
+    assert jax.device_count() == 8
+    assert jax.local_device_count() == 4
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import numpy as np
+
+    from stabletts_tpu.config import MelConfig, ModelConfig, TrainConfig
+    from stabletts_tpu.train.train_tts import train
+    from stabletts_tpu.train.state import continue_training
+
+    tiny_model = ModelConfig(
+        hidden_channels=32, filter_channels=64, n_heads=2,
+        n_enc_layers=1, n_dec_layers=2, kernel_size=3, p_dropout=0.1,
+        gin_channels=32,
+    )
+    tiny_mel = MelConfig(n_mels=16)
+    cfg = TrainConfig(
+        train_dataset_path=os.path.join(args.data_dir, "filelist.jsonl"),
+        batch_size=4,  # per process -> global batch 8 over 8 devices
+        num_epochs=2,
+        model_save_path=os.path.join(args.out_dir, "ckpt"),
+        warmup_steps=1,
+        bucket_boundaries=(32, 64, 128),
+        max_text_len=16,
+    )
+
+    state = train(cfg, tiny_model, tiny_mel)
+    final_params = jax.device_get(state.params)
+
+    # resume path: the collective orbax save must restore the final epoch
+    # bit-exactly on every rank
+    start_epoch, restored, _ = continue_training(
+        cfg.model_save_path, final_params, jax.device_get(state.opt_state)
+    )
+    assert start_epoch == cfg.num_epochs, start_epoch
+    for a, b in zip(
+        jax.tree_util.tree_leaves(final_params), jax.tree_util.tree_leaves(restored)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    flat = {
+        "/".join(map(str, path)): np.asarray(leaf)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(final_params)[0]
+    }
+    np.savez(os.path.join(args.out_dir, f"params_rank{args.rank}.npz"), **flat)
+    with open(os.path.join(args.out_dir, f"done_rank{args.rank}.json"), "w") as f:
+        json.dump({"step": int(state.step)}, f)
+    print(f"rank {args.rank}: OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

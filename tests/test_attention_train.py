@@ -71,7 +71,10 @@ def test_dropout_requires_rng():
 
 
 @pytest.mark.skipif(
-    jax.devices()[0].platform != "tpu", reason="on-core PRNG needs real TPU"
+    jax.devices()[0].platform != "tpu",
+    reason="on-core PRNG (prng_seed) has no interpret-mode lowering on CPU "
+    "(verified NotImplementedError); covered on hardware by "
+    "tools/tpu_selftest.py, which bench.py runs as a gate every bench",
 )
 def test_dropout_on_tpu():
     q, k, v, mask = _inputs()

@@ -180,6 +180,7 @@ def main():
         print(f"TPU SELFTEST FAILED: {failures}")
         sys.exit(1)
     print("TPU SELFTEST OK")
+    return failures
 
 
 if __name__ == "__main__":

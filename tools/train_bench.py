@@ -23,6 +23,11 @@ def main():
     ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize estimator blocks (ModelConfig.remat)")
+    ap.add_argument("--from-disk", action="store_true",
+                    help="feed real .npy mels from disk through the sampler + "
+                         "prefetch pipeline instead of a resident device batch")
+    ap.add_argument("--loader-workers", type=int, default=4)
+    ap.add_argument("--prefetch-depth", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -75,6 +80,79 @@ def main():
         f"train step: {wall*1000:.1f} ms at B={b} Ty={ty} Tx={tx} "
         f"-> {audio_s/wall:.1f} audio-s/s/chip (loss {loss:.3f})"
     )
+
+    if args.from_disk:
+        # Real-data path: .npy mels on disk -> bucket sampler -> threaded
+        # collate + H2D prefetch -> train step. Measures whether the input
+        # pipeline keeps the chip busy (VERDICT r1 #4: synchronous loading
+        # sat on the critical path; target <5% regression vs synthetic).
+        import json
+        import tempfile
+
+        from stabletts_tpu.data.dataset import StableDataset, collate
+        from stabletts_tpu.data.prefetch import prefetch
+        from stabletts_tpu.data.sampler import DistributedBucketSampler
+
+        rng_d = np.random.default_rng(7)
+        n_items = max(4 * b, 64)
+        with tempfile.TemporaryDirectory(prefix="stabletts_bench_") as tmp:
+            fl_path = os.path.join(tmp, "filelist.jsonl")
+            with open(fl_path, "w", encoding="utf-8") as fh:
+                for i in range(n_items):
+                    t_i = int(rng_d.integers(int(ty * 0.9), ty + 1))
+                    mel = rng_d.standard_normal((t_i, mel_cfg.n_mels)).astype(np.float32)
+                    mel_path = os.path.join(tmp, f"{i}.npy")
+                    np.save(mel_path, mel)
+                    phones = ["a1", "i1", "u1", "e1", "o1"] * (tx // 12)
+                    fh.write(json.dumps({
+                        "mel_path": mel_path, "phone": phones, "mel_length": t_i,
+                    }) + "\n")
+
+            dataset = StableDataset(fl_path)
+            sampler = DistributedBucketSampler(
+                dataset.lengths, b, [32, ty], num_replicas=1, rank=0)
+            sampler.set_epoch(0)
+
+            def make_batch(work):
+                batch_idx, (bucket, indices) = work
+                r = np.random.default_rng(np.random.SeedSequence([0, batch_idx]))
+                hb = collate(dataset, indices, sampler.bucket_mel_len(bucket),
+                             tx, mel_cfg.n_mels, r)
+                return jax.device_put(hb.as_tuple())
+
+            # step_fn donates its state arg, so thread one live state through
+            # both timed runs via this holder
+            live = {"state": state}
+
+            def run_epochs(n_steps, workers, depth):
+                done = 0
+                state2 = live["state"]
+                t_start = None
+                while done < n_steps + 1:
+                    work = enumerate(sampler)
+                    stream = (prefetch(work, make_batch, workers, depth)
+                              if workers > 0 else map(make_batch, work))
+                    for db in stream:
+                        state2, m = step_fn(state2, db, key)
+                        done += 1
+                        if done == 1:  # skip compile/warmup step
+                            jax.block_until_ready(m["loss"])
+                            t_start = time.time()
+                        if done >= n_steps + 1:
+                            break
+                jax.block_until_ready(m["loss"])
+                live["state"] = state2
+                return (time.time() - t_start) / n_steps
+
+            n_steps = max(args.iters, 4)
+            wall_sync = run_epochs(n_steps, 0, 0)
+            wall_pre = run_epochs(n_steps, args.loader_workers, args.prefetch_depth)
+            print(
+                f"from-disk step: sync {wall_sync*1000:.1f} ms | prefetch "
+                f"{wall_pre*1000:.1f} ms (workers={args.loader_workers}) | "
+                f"synthetic {wall*1000:.1f} ms -> overhead "
+                f"{(wall_pre/wall-1)*100:+.1f}% vs synthetic"
+            )
 
     # MAS alone at the same shape (the dispatch the train step actually uses),
     # amortized: queue all iterations, sync once (a per-call sync would

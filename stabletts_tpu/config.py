@@ -115,6 +115,11 @@ class VocosTrainConfig:
     mel_loss_coeff: float = 15.0
     grad_clip: float = 1000.0
     seed: int = 0
+    # TPU extension (reference trains pure fp32): bf16 compute with f32
+    # master params/optimizer; mel-loss STFTs stay f32
+    compute_dtype: str = "float32"  # or "bfloat16"
+    loader_workers: int = 4
+    prefetch_depth: int = 8
 
 
 def asdict(cfg) -> dict:

@@ -13,7 +13,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from stabletts_tpu.ops.stft import hann_window
+from stabletts_tpu.ops.stft import frame_signal, hann_window
 
 
 def _leaky(x):
@@ -61,7 +61,17 @@ class DiscriminatorP(nn.Module):
 
 
 class MultiPeriodDiscriminator(nn.Module):
-    """(reference: discriminator.py:11-29)."""
+    """(reference: discriminator.py:11-29).
+
+    Real and fake are two separate calls per period, like the reference.
+    Measured dead end (v5e, B=16, full GAN step at 114.6 ms baseline):
+    concatenating real|fake into one 2B batch per discriminator — despite
+    halving conv-op count — was SLOWER in every placement: both steps
+    161.9 ms (the G-step backward then computes and discards the real half's
+    input-cotangents), D-step only 136.1 ms (the concat copies and the 2x
+    activation working set cost more HBM traffic than the op-count saving
+    recovers). The step is data-movement-bound, not op- or FLOP-bound
+    (bf16 compute moves it <1%)."""
 
     periods: Sequence[int] = (2, 3, 5, 7, 11)
 
@@ -85,11 +95,7 @@ def stft_real_imag(x: jnp.ndarray, n_fft: int, hop: int, win: int) -> jnp.ndarra
     window = jnp.asarray(hann_window(win))
     pad = n_fft // 2
     x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
-    length = x.shape[-1]
-    n_frames = 1 + (length - n_fft) // hop
-    starts = jnp.arange(n_frames) * hop
-    idx = starts[:, None] + jnp.arange(n_fft)[None, :]
-    frames = x[:, idx] * window
+    frames = frame_signal(x, n_fft, hop) * window  # reshape-based, no gather
     spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # [B, T, F]
     return jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
 
@@ -139,7 +145,8 @@ class DiscriminatorR(nn.Module):
 
 
 class MultiResolutionDiscriminator(nn.Module):
-    """(reference: discriminator.py:78-111)."""
+    """(reference: discriminator.py:78-111). Separate real/fake calls —
+    see MultiPeriodDiscriminator for the measured batching dead end."""
 
     fft_sizes: Sequence[int] = (2048, 1024, 512)
 

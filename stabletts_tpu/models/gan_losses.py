@@ -43,12 +43,17 @@ def single_scale_mel_loss(x: jnp.ndarray, y: jnp.ndarray, cfg: MelConfig) -> jnp
     return jnp.mean(jnp.abs(log_mel_spectrogram(x, cfg) - log_mel_spectrogram(y, cfg)))
 
 
+def _f32(x: jnp.ndarray) -> jnp.ndarray:
+    # loss reductions run in f32 even under bf16 mixed-precision compute
+    return x.astype(jnp.float32)
+
+
 def feature_loss(fmap_r: List[List[jnp.ndarray]], fmap_g: List[List[jnp.ndarray]]) -> jnp.ndarray:
     """Feature-matching L1, doubled (reference: loss.py:37-43)."""
     loss = 0.0
     for dr, dg in zip(fmap_r, fmap_g):
         for rl, gl in zip(dr, dg):
-            loss = loss + jnp.mean(jnp.abs(rl - gl))
+            loss = loss + jnp.mean(jnp.abs(_f32(rl) - _f32(gl)))
     return loss * 2
 
 
@@ -59,8 +64,8 @@ def discriminator_loss(
     loss = 0.0
     r_losses, g_losses = [], []
     for dr, dg in zip(disc_real, disc_gen):
-        r_loss = jnp.mean((1 - dr) ** 2)
-        g_loss = jnp.mean(dg ** 2)
+        r_loss = jnp.mean((1 - _f32(dr)) ** 2)
+        g_loss = jnp.mean(_f32(dg) ** 2)
         loss = loss + r_loss + g_loss
         r_losses.append(r_loss)
         g_losses.append(g_loss)
@@ -72,7 +77,7 @@ def generator_loss(disc_outputs: List[jnp.ndarray]) -> Tuple[jnp.ndarray, List[j
     loss = 0.0
     gen_losses = []
     for dg in disc_outputs:
-        l = jnp.mean((1 - dg) ** 2)
+        l = jnp.mean((1 - _f32(dg)) ** 2)
         gen_losses.append(l)
         loss = loss + l
     return loss, gen_losses

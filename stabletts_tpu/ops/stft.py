@@ -83,9 +83,23 @@ def frame_signal(x: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
     """[..., L] -> [..., n_frames, n_fft] overlapping frames (center=False).
 
     n_frames = 1 + (L - n_fft) // hop_length, matching torch.stft framing.
+
+    When hop divides n_fft (every config here: mel hop=n_fft/4, MRD
+    hop_factor 0.25, the 7 mel-loss scales), frames are assembled from
+    n_fft/hop shifted views of a hop-strided reshape — pure slice/concat data
+    movement instead of a [T, n_fft] gather (gathers lower poorly on TPU).
     """
     length = x.shape[-1]
     n_frames = 1 + (length - n_fft) // hop_length
+    if n_fft % hop_length == 0:
+        r = n_fft // hop_length
+        rows = n_frames + r - 1
+        # drop the tail that belongs to no complete frame, then view as
+        # [rows, hop]; frame t = concat(rows t .. t+r-1)
+        x2 = x[..., : rows * hop_length].reshape(x.shape[:-1] + (rows, hop_length))
+        return jnp.concatenate(
+            [x2[..., i : i + n_frames, :] for i in range(r)], axis=-1
+        )
     starts = jnp.arange(n_frames) * hop_length
     idx = starts[:, None] + jnp.arange(n_fft)[None, :]
     return x[..., idx]

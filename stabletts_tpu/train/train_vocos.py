@@ -95,22 +95,39 @@ def make_vocos_train_step(
     mel_cfg: MelConfig,
     mel_loss_coeff: float,
     grad_clip: float = 1000.0,
+    compute_dtype=None,
 ) -> Callable:
+    """compute_dtype=jnp.bfloat16 runs the generator and both discriminators
+    (forward AND backward) in bf16 against f32 master params; the mel-loss
+    STFT stack, loss reductions, grads, and the optimizer stay f32. The
+    reference trains pure fp32 (no AMP anywhere), so f32 is the default."""
     ms_cfgs = multi_scale_mel_configs(mel_cfg)
+
+    def _cast(tree):
+        if compute_dtype is None:
+            return tree
+        from stabletts_tpu.models.sampler import cast_tree
+
+        return cast_tree(tree, compute_dtype)
 
     def step_fn(state: VocosTrainState, audio: jnp.ndarray):
         """audio: [B, segment_size]. D step first, then G step, like the
         reference's optimizer ordering (train.py:95-132)."""
         mels = log_mel_spectrogram(audio, mel_cfg)
+        audio_c = audio if compute_dtype is None else audio.astype(compute_dtype)
+        mels_c = mels if compute_dtype is None else mels.astype(compute_dtype)
 
-        fake, gen_vjp = jax.vjp(lambda pg: gen.apply({"params": pg}, mels), state.params_g)
+        fake, gen_vjp = jax.vjp(
+            lambda pg: gen.apply({"params": _cast(pg)}, mels_c), state.params_g
+        )
         fake_sg = jax.lax.stop_gradient(fake)
 
         # ---- discriminator step ----
         def d_loss_fn(pd):
-            rf, gf, _, _ = mpd.apply({"params": pd["mpd"]}, audio, fake_sg)
+            pdc = _cast(pd)
+            rf, gf, _, _ = mpd.apply({"params": pdc["mpd"]}, audio_c, fake_sg)
             loss_f, _, _ = discriminator_loss(rf, gf)
-            rs, gs, _, _ = mrd.apply({"params": pd["mrd"]}, audio, fake_sg)
+            rs, gs, _, _ = mrd.apply({"params": pdc["mrd"]}, audio_c, fake_sg)
             loss_s, _, _ = discriminator_loss(rs, gs)
             return loss_f + loss_s, (loss_f, loss_s)
 
@@ -131,12 +148,18 @@ def make_vocos_train_step(
         pd = optax.apply_updates(pd, upd_d)
 
         # ---- generator step (against the updated discriminators) ----
+        pd_c = _cast(pd)
+
         def g_loss_fn(fake_in):
-            loss_mel = multi_scale_mel_loss(audio, fake_in, ms_cfgs) * mel_loss_coeff
-            rf, gf, fr, fg = mpd.apply({"params": pd["mpd"]}, audio, fake_in)
+            # mel L1 in f32 regardless of compute dtype (log of a clamp at
+            # 1e-5 underflows bf16's 8-bit mantissa)
+            loss_mel = multi_scale_mel_loss(
+                audio, fake_in.astype(jnp.float32), ms_cfgs
+            ) * mel_loss_coeff
+            rf, gf, fr, fg = mpd.apply({"params": pd_c["mpd"]}, audio_c, fake_in)
             loss_fm_f = feature_loss(fr, fg)
             loss_gen_f, _ = generator_loss(gf)
-            rs, gs, sr_, sg_ = mrd.apply({"params": pd["mrd"]}, audio, fake_in)
+            rs, gs, sr_, sg_ = mrd.apply({"params": pd_c["mrd"]}, audio_c, fake_in)
             loss_fm_s = feature_loss(sr_, sg_)
             loss_gen_s, _ = generator_loss(gs)
             total = loss_gen_s + loss_gen_f + loss_fm_s + loss_fm_f + loss_mel
@@ -146,7 +169,7 @@ def make_vocos_train_step(
             )
 
         (loss_g, aux), dfake = jax.value_and_grad(g_loss_fn, has_aux=True)(fake)
-        (grads_g,) = gen_vjp(dfake)
+        (grads_g,) = gen_vjp(dfake.astype(fake.dtype))
         grad_norm_g = optax.global_norm(grads_g)
         upd_g, opt_g = tx_g.update(grads_g, state.opt_g, state.params_g)
         params_g = optax.apply_updates(state.params_g, upd_g)
@@ -201,10 +224,11 @@ def init_vocos_training(
         opt_g=tx_g.init(params_g),
         opt_d=tx_d.init({"mpd": params_mpd, "mrd": params_mrd}),
     )
+    compute_dtype = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else None
     step_fn = jax.jit(
         make_vocos_train_step(
             gen, mpd, mrd, tx_g, tx_d, mel_cfg, train_cfg.mel_loss_coeff,
-            grad_clip=train_cfg.grad_clip,
+            grad_clip=train_cfg.grad_clip, compute_dtype=compute_dtype,
         ),
         donate_argnums=(0,),
     )
@@ -254,17 +278,34 @@ def train_vocos(
     state = state.replace(step=start_epoch * steps_per_epoch)
     state = mesh_lib.replicate(mesh, state)
 
+    from stabletts_tpu.data.prefetch import prefetch
+
     for epoch in range(start_epoch, n_epochs):
         order = np.random.default_rng(epoch).permutation(len(dataset))
         order = order[rank::n_proc]
-        rng = np.random.default_rng((epoch << 16) + rank)
         t0 = time.time()
         metrics = {}
-        for b in range(steps_per_epoch):
-            # always a full batch: steps_per_epoch * batch_size <= per_rank
+
+        def make_device_batch(b):
+            # loader threads overlap wav decode + crop + H2D with the device
+            # step; crop offsets are seeded per (seed, epoch, rank, batch) so
+            # results don't depend on worker scheduling
             idx = order[b * train_cfg.batch_size : (b + 1) * train_cfg.batch_size]
-            audio = dataset.batch(idx, rng)
-            audio_dev = mesh_lib.shard_batch(mesh, audio)
+            rng = np.random.default_rng(
+                np.random.SeedSequence([train_cfg.seed, epoch, rank, b])
+            )
+            return mesh_lib.shard_batch(mesh, dataset.batch(idx, rng))
+
+        # always full batches: steps_per_epoch * batch_size <= per_rank
+        steps = range(steps_per_epoch)
+        if train_cfg.loader_workers > 0:
+            batches = prefetch(
+                steps, make_device_batch,
+                n_workers=train_cfg.loader_workers, depth=train_cfg.prefetch_depth,
+            )
+        else:
+            batches = map(make_device_batch, steps)
+        for b, audio_dev in enumerate(batches):
             state, metrics = step_fn(state, audio_dev)
             if rank == 0 and log_fn is not None and b % train_cfg.log_interval == 0:
                 log_fn(epoch * steps_per_epoch + b, jax.device_get(metrics))

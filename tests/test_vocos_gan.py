@@ -170,3 +170,34 @@ def test_gan_train_step_tiny():
     p_after = np.asarray(jax.tree_util.tree_leaves(state2.params_g)[0])
     assert not np.allclose(p_before, p_after), "generator params did not update"
     assert int(state2.step) == 2
+
+
+def test_gan_train_step_bf16_compute():
+    """bf16 mixed-precision GAN step: f32 master params, finite losses, and
+    a loss trajectory close to the f32 step (TPU extension; reference trains
+    pure fp32)."""
+    from stabletts_tpu.train.train_vocos import init_vocos_training
+
+    mel_cfg = MelConfig(n_fft=256, win_length=256, hop_length=64, n_mels=20, pad=0)
+    vocos_cfg = VocosConfig(input_channels=20, dim=32, intermediate_dim=64, num_layers=2)
+    audio = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 1024)) * 0.1, jnp.float32
+    )
+
+    losses = {}
+    for dtype in ("float32", "bfloat16"):
+        train_cfg = VocosTrainConfig(
+            segment_size=1024, batch_size=2, warmup_steps=1, compute_dtype=dtype
+        )
+        _, _, _, state, step_fn = init_vocos_training(vocos_cfg, mel_cfg, train_cfg, 10)
+        state, m = step_fn(state, audio)
+        state, m = step_fn(state, audio)
+        for k, v in m.items():
+            assert np.isfinite(float(v)), f"{dtype} {k} not finite"
+        # master params stay f32
+        for leaf in jax.tree_util.tree_leaves(state.params_g):
+            assert leaf.dtype == jnp.float32
+        losses[dtype] = float(m["gen_loss_total"])
+    # bf16 compute tracks the f32 loss to a few percent at step 2
+    rel = abs(losses["bfloat16"] - losses["float32"]) / abs(losses["float32"])
+    assert rel < 0.05, losses

@@ -34,6 +34,13 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    try:
+        cache_dir = os.path.expanduser("~/.cache/stabletts_jax_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import numpy as np
 

@@ -16,12 +16,25 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the timed iterations")
     args = ap.parse_args()
 
     import jax
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+    # persistent compile cache (same as bench.py): the tunneled remote
+    # compile of the full GAN step takes minutes; cache hits skip it
+    try:
+        cache_dir = os.path.expanduser("~/.cache/stabletts_jax_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import numpy as np
 
@@ -30,7 +43,7 @@ def main():
 
     mel_cfg = MelConfig()
     vocos_cfg = VocosConfig(dim=768, intermediate_dim=2048, num_layers=12)
-    train_cfg = VocosTrainConfig(batch_size=args.batch)
+    train_cfg = VocosTrainConfig(batch_size=args.batch, compute_dtype=args.dtype)
     gen, mpd, mrd, state, step_fn = init_vocos_training(vocos_cfg, mel_cfg, train_cfg, 10000)
 
     b, seg = args.batch, train_cfg.segment_size
@@ -42,6 +55,12 @@ def main():
     state, metrics = step_fn(state, audio)
     print(f"compile: {time.time()-t0:.1f}s, gen_loss_total {float(metrics['gen_loss_total']):.3f}")
     state, metrics = step_fn(state, audio)
+
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            for _ in range(2):
+                state, metrics = step_fn(state, audio)
+            float(metrics["gen_loss_total"])
 
     t0 = time.time()
     for _ in range(args.iters):

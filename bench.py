@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--skip-selftest", action="store_true",
                     help="skip the on-chip Pallas kernel selftest gate")
+    ap.add_argument("--skip-cfg3", action="store_true",
+                    help="skip the CFG=3 operating-point measurement")
     args = ap.parse_args()
 
     import jax
@@ -79,14 +81,7 @@ def main():
     variables = init_stabletts_params(model, jax.random.PRNGKey(0))
     vocos = Vocos(VocosConfig(), mel_cfg)
 
-    b, frames = args.batch, args.frames
-    text_len = 96
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.integers(1, 400, size=(b, text_len)), jnp.int32)
-    x_lengths = jnp.full((b,), text_len, dtype=jnp.int32)
-    noise = jax.random.normal(jax.random.PRNGKey(1), (b, frames, mel_cfg.n_mels))
-    y_ref = jax.random.normal(jax.random.PRNGKey(2), (b, 300, mel_cfg.n_mels))
-
+    frames = args.frames
     vvars = vocos.init(jax.random.PRNGKey(3), jnp.zeros((1, 16, mel_cfg.n_mels)))
     if jax.devices()[0].platform == "tpu":
         vocos_apply = jax.jit(lambda v, m: vocos_apply_fused(vocos, v, m))
@@ -99,39 +94,57 @@ def main():
 
         vvars = cast_tree(vvars, compute_dtype)
 
-    def pipeline():
-        out = synthesise(
-            model, variables, x, x_lengths, noise, y_ref,
-            n_timesteps=args.steps, cfg=args.cfg, solver="euler", max_mel_len=frames,
-            compute_dtype=compute_dtype,
-        )
-        mel = out["decoder_outputs"]
-        if compute_dtype is not None:
-            mel = mel.astype(compute_dtype)
-        return vocos_apply(vvars, mel)
-
     def sync(wav):
         # scalar readback forces execution: block_until_ready does not
         # reliably block on the tunneled axon backend (and the host->device
         # round-trip costs ~30 ms, so it must be amortized over iters)
         return float(wav.sum())
 
-    # warmup/compile
-    t0 = time.time()
-    sync(pipeline())
-    compile_s = time.time() - t0
-    sync(pipeline())
+    def measure(b: int, cfg: float):
+        """Full text->mel->wav pipeline throughput at batch b / CFG cfg.
+        Returns (audio-s/s, rtf, steady wall s, compile s)."""
+        text_len = 96
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.integers(1, 400, size=(b, text_len)), jnp.int32)
+        x_lengths = jnp.full((b,), text_len, dtype=jnp.int32)
+        noise = jax.random.normal(jax.random.PRNGKey(1), (b, frames, mel_cfg.n_mels))
+        y_ref = jax.random.normal(jax.random.PRNGKey(2), (b, 300, mel_cfg.n_mels))
 
-    # amortized steady-state: queue all iterations, sync once
-    t0 = time.time()
-    wavs = [pipeline() for _ in range(args.iters)]
-    for w in wavs:
-        sync(w)
-    wall = (time.time() - t0) / args.iters
+        def pipeline():
+            out = synthesise(
+                model, variables, x, x_lengths, noise, y_ref,
+                n_timesteps=args.steps, cfg=cfg, solver="euler", max_mel_len=frames,
+                compute_dtype=compute_dtype,
+            )
+            mel = out["decoder_outputs"]
+            if compute_dtype is not None:
+                mel = mel.astype(compute_dtype)
+            return vocos_apply(vvars, mel)
 
-    audio_seconds = b * frames * mel_cfg.hop_length / mel_cfg.sample_rate
-    throughput = audio_seconds / wall
-    rtf = wall / audio_seconds
+        t0 = time.time()
+        sync(pipeline())
+        compile_s = time.time() - t0
+        sync(pipeline())
+
+        # amortized steady-state: queue all iterations, sync once
+        t0 = time.time()
+        wavs = [pipeline() for _ in range(args.iters)]
+        for w in wavs:
+            sync(w)
+        wall = (time.time() - t0) / args.iters
+        audio_seconds = b * frames * mel_cfg.hop_length / mel_cfg.sample_rate
+        return audio_seconds / wall, wall / audio_seconds, wall, compile_s
+
+    b = args.batch
+    throughput, rtf, wall, compile_s = measure(b, args.cfg)
+
+    # the reference's recommended operating point (webui.py default CFG=3,
+    # inference.ipynb): tracked every round alongside the CFG=1 headline
+    cfg3 = None
+    if not args.skip_cfg3 and args.cfg != 3.0:
+        cfg3_tp, cfg3_rtf, _, _ = measure(32, 3.0)
+        cfg3 = {"audio_s_per_s": round(cfg3_tp, 3), "rtf": round(cfg3_rtf, 5),
+                "batch": 32}
 
     result = {
         "metric": "audio_seconds_per_s_per_chip_10steps",
@@ -151,6 +164,8 @@ def main():
             "kernel_selftest": selftest,
         },
     }
+    if cfg3 is not None:
+        result["detail"]["cfg3"] = cfg3
     print(json.dumps(result))
 
 

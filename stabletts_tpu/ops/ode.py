@@ -57,7 +57,7 @@ def odeint_fixed(
         return y + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
 
     if method == "implicit_adams":
-        return _odeint_implicit_adams(f, y0, t_span, rk4)
+        return _odeint_implicit_adams(f, y0, t_span)
 
     steppers = {"euler": euler, "midpoint": midpoint, "heun2": heun2, "heun3": heun3, "rk4": rk4}
     stepper = steppers[method]
@@ -71,47 +71,155 @@ def odeint_fixed(
     return y_final
 
 
-def _odeint_implicit_adams(f, y0, t_span, rk4_step):
-    """Fixed-grid 4th-order Adams-Bashforth-Moulton predictor-corrector (PECE).
+def _adams_coefficients(max_order: int = 12):
+    """Exact Adams-Bashforth / Adams-Moulton coefficients via rational
+    Lagrange-basis integration (equivalent to torchdiffeq's hard-coded
+    _BASHFORTH_COEFFICIENTS/_MOULTON_COEFFICIENTS/_DIVISOR tables in
+    fixed_adams.py, but derived instead of transcribed — the low orders are
+    asserted against the textbook values below).
 
-    torchdiffeq's `implicit_adams` solver (exposed in the reference webui
-    solver dropdown, webui.py:110) is an order-4 implicit Adams method; on a
-    uniform grid a single predict-evaluate-correct-evaluate pass reproduces it
-    to solver order. The first 3 steps bootstrap with RK4 (unrolled — the grid
-    is static under jit), then `lax.scan` carries the last-4 f-value history.
+    ab[k][j] multiplies f_{n-j} (k terms); am[k][0] multiplies f_{n+1} and
+    am[k][j>=1] multiplies f_{n-(j-1)} (k terms)."""
+    from fractions import Fraction
+
+    def lagrange_integrals(nodes):
+        coeffs = []
+        for j, xj in enumerate(nodes):
+            poly = [Fraction(1)]  # ascending coefficients of prod(s - x_i)
+            denom = Fraction(1)
+            for i, xi in enumerate(nodes):
+                if i == j:
+                    continue
+                new = [Fraction(0)] * (len(poly) + 1)
+                for k, c in enumerate(poly):
+                    new[k + 1] += c
+                    new[k] -= c * xi
+                poly = new
+                denom *= xj - xi
+            integral = sum(c / (k + 1) for k, c in enumerate(poly))
+            coeffs.append(float(integral / denom))
+        return coeffs
+
+    ab = {k: lagrange_integrals([Fraction(-i) for i in range(k)])
+          for k in range(1, max_order)}
+    am = {k: lagrange_integrals([Fraction(1 - i) for i in range(k)])
+          for k in range(1, max_order + 1)}
+    assert ab[4] == [55 / 24, -59 / 24, 37 / 24, -9 / 24]
+    assert am[4] == [9 / 24, 19 / 24, -5 / 24, 1 / 24]
+    assert am[5] == [251 / 720, 646 / 720, -264 / 720, 106 / 720, -19 / 720]
+    return ab, am
+
+
+_AB_COEFFS, _AM_COEFFS = _adams_coefficients()
+# torchdiffeq fixed_adams.py constants: orders below _MIN_ORDER-1 bootstrap
+# with the 3/8-rule RK4; history deque holds max_order-1 values; the AM
+# corrector runs at most _MAX_ITERS functional iterations.
+_ADAMS_MIN_ORDER = 4
+_ADAMS_MAX_ORDER = 12
+_ADAMS_MAX_ITERS = 4
+
+
+def _odeint_implicit_adams(f, y0, t_span, rtol=1e-7, atol=1e-9):
+    """torchdiffeq's `implicit_adams` (fixed_adams.py AdamsBashforthMoulton,
+    implicit=True), trajectory-faithful: the first two steps use the 3/8-rule
+    RK4 (`rk4_alt_step_func`), after which the order grows with the f-history
+    (order = min(len(history), 11)); each step runs an Adams-Bashforth
+    predictor then an Adams-Moulton corrector iterated <= 4 times with
+    torchdiffeq's element-wise linf convergence ratio (default odeint
+    tolerances rtol=1e-7/atol=1e-9, as the reference's plain
+    `torchdiffeq.odeint(..., method=solver)` call passes none).
+
+    The pre-saturation steps are unrolled (static grid under jit); once the
+    order saturates at 11 the remaining steps run under `lax.scan` with a
+    [11, ...] history buffer, so compile cost is bounded for long grids.
+    The corrector's early-exit is a bounded `lax.while_loop`, bit-matching
+    torchdiffeq's `break` on convergence (at the default tolerances the
+    threshold sits at f32 machine precision, so all 4 iterations run each
+    step — torchdiffeq then warns 'Solution may be incorrect' but uses the
+    final iterate, as this implementation does). Trajectory parity vs the
+    in-repo torch oracle is asserted in tests/test_ode.py.
+
+    Two fixed_adams.py details are under-determined without the package
+    installed and documented as deviations: (a) the exact bootstrap length
+    (this implementation switches from RK4 to Adams at the first step with 3
+    history values); (b) any history-deque adjustment torchdiffeq makes in
+    its non-convergence branch (this implementation always keeps the full
+    history, so the order grows monotonically to 11).
     """
     n_steps = int(t_span.shape[0]) - 1
-    ts, dts = t_span[:-1], t_span[1:] - t_span[:-1]
+    f32 = jnp.float32
+    y_dtype = jnp.result_type(y0)
+    ts = t_span.astype(f32)
 
-    if n_steps <= 3:
-        y = y0
-        for i in range(n_steps):
-            y = rk4_step(y, ts[i], dts[i]).astype(y.dtype)
-        return y
+    def f32_eval(t, y):
+        return f(t, y.astype(y_dtype)).astype(f32)
 
-    # bootstrap: 3 RK4 steps, recording f at each grid point
-    y = y0
-    hist = [f(ts[0], y0)]
-    for i in range(3):
-        y = rk4_step(y, ts[i], dts[i]).astype(y0.dtype)
-        hist.append(f(ts[i + 1], y))
-    hist = jnp.stack(hist[-4:])  # f at t_{n-3..n} with n = 3
+    hist_cap = _ADAMS_MAX_ORDER - 1
 
-    def body(carry, t_dt):
-        y, h = carry
-        t, dt = t_dt
-        f0, f1, f2, f3 = h[3], h[2], h[1], h[0]  # f_n, f_{n-1}, f_{n-2}, f_{n-3}
-        # AB4 predictor
-        y_p = y + dt / 24.0 * (55.0 * f0 - 59.0 * f1 + 37.0 * f2 - 9.0 * f3)
-        # AM4 corrector (one functional iteration)
-        f_p = f(t + dt, y_p)
-        y_new = (y + dt / 24.0 * (9.0 * f_p + 19.0 * f0 - 5.0 * f1 + 1.0 * f2)).astype(y.dtype)
-        f_new = f(t + dt, y_new)
-        h = jnp.concatenate([h[1:], f_new[None]], axis=0)
-        return (y_new, h), None
+    def corrector(dy_pred, delta, b0, t1, dt, y):
+        def cond(c):
+            _, it, conv = c
+            return (~conv) & (it < _ADAMS_MAX_ITERS)
 
-    (y_final, _), _ = jax.lax.scan(body, (y, hist), (ts[3:], dts[3:]))
-    return y_final
+        def body(c):
+            dy, it, _ = c
+            f_new = f32_eval(t1, y + dy)
+            dy_new = dt * b0 * f_new + delta
+            scale = atol + rtol * jnp.maximum(jnp.abs(dy), jnp.abs(dy_new))
+            ratio = jnp.max(jnp.abs(dy - dy_new) / scale)
+            return (dy_new, it + 1, ratio < 1.0)
+
+        dy, _, _ = jax.lax.while_loop(
+            cond, body, (dy_pred, jnp.asarray(0), jnp.asarray(False))
+        )
+        return dy
+
+    def abm_step(y, hist, t0, t1, dt, order):
+        """hist: list/array of f values, newest first, len == order."""
+        ab = _AB_COEFFS[order]
+        am = _AM_COEFFS[order + 1]
+        dy_pred = dt * sum(ab[j] * hist[j] for j in range(order))
+        delta = dt * sum(am[j + 1] * hist[j] for j in range(order))
+        return corrector(dy_pred, delta, am[0], t1, dt, y)
+
+    y = y0.astype(f32)
+    hist: list = []  # f at past grid points, newest first
+    i = 0
+    # unrolled head: RK4 bootstrap + growing-order ABM until order saturates
+    while i < n_steps and len(hist) < hist_cap:
+        t0, t1 = ts[i], ts[i + 1]
+        dt = t1 - t0
+        f0 = f32_eval(t0, y)
+        hist = [f0] + hist[: hist_cap - 1]
+        order = len(hist)
+        if order < _ADAMS_MIN_ORDER - 1:
+            # rk4_alt_step_func: the 3/8 rule with k1 = the history f0
+            k1 = f0
+            k2 = f32_eval(t0 + dt / 3, y + dt * k1 / 3)
+            k3 = f32_eval(t0 + dt * 2 / 3, y + dt * (k2 - k1 / 3))
+            k4 = f32_eval(t1, y + dt * (k1 - k2 + k3))
+            dy = (k1 + 3 * (k2 + k3) + k4) * dt * 0.125
+        else:
+            dy = abm_step(y, hist, t0, t1, dt, order)
+        y = y + dy
+        i += 1
+
+    if i < n_steps:
+        # saturated tail: fixed order = hist_cap, scanned
+        hist_buf = jnp.stack(hist)  # [hist_cap, ...] newest first
+
+        def body(carry, t01):
+            y, h = carry
+            t0, t1 = t01
+            dt = t1 - t0
+            f0 = f32_eval(t0, y)
+            h = jnp.concatenate([f0[None], h[:-1]], axis=0)
+            dy = abm_step(y, h, t0, t1, dt, hist_cap)
+            return (y + dy, h), None
+
+        (y, _), _ = jax.lax.scan(body, (y, hist_buf), (ts[i:-1], ts[i + 1:]))
+
+    return y.astype(y_dtype)
 
 
 # Embedded Runge-Kutta Butcher tableaus in torchdiffeq's representation:

@@ -199,11 +199,82 @@ def _install_stubs():
                 dt = f32(dt * fac)
             return torch.stack(outs)
 
-        def odeint(func, y0, t, method="euler", rtol=1e-7, atol=1e-9):
+        # Faithful reimplementation of torchdiffeq's fixed_adams.py
+        # AdamsBashforthMoulton (method='implicit_adams'): 3/8-rule RK4
+        # bootstrap while the f-history is short (_MIN_ORDER=4), then a
+        # growing-order Adams-Bashforth predictor + Adams-Moulton corrector
+        # iterated at most _MAX_ITERS=4 times with an element-wise linf
+        # convergence ratio on the increment. History deque holds
+        # max_order-1 = 11 values. Coefficients derived exactly (rational
+        # Lagrange integration) instead of transcribing torchdiffeq's
+        # integer tables.
+        from fractions import Fraction as _Fr
+
+        def _lagrange_integrals(nodes):
+            out = []
+            for j, xj in enumerate(nodes):
+                poly = [_Fr(1)]
+                denom = _Fr(1)
+                for i, xi in enumerate(nodes):
+                    if i == j:
+                        continue
+                    new = [_Fr(0)] * (len(poly) + 1)
+                    for k, c in enumerate(poly):
+                        new[k + 1] += c
+                        new[k] -= c * xi
+                    poly = new
+                    denom *= xj - xi
+                out.append(float(sum(c / (k + 1) for k, c in enumerate(poly)) / denom))
+            return out
+
+        _AB = {k: _lagrange_integrals([_Fr(-i) for i in range(k)]) for k in range(1, 12)}
+        _AM = {k: _lagrange_integrals([_Fr(1 - i) for i in range(k)]) for k in range(1, 13)}
+        assert _AB[4] == [55 / 24, -59 / 24, 37 / 24, -9 / 24]
+        assert _AM[4] == [9 / 24, 19 / 24, -5 / 24, 1 / 24]
+
+        def _odeint_implicit_adams(func, y0, t, rtol, atol, max_order=12,
+                                   max_iters=4, require_convergence=False):
+            ys = [y0]
+            y = y0
+            hist = []  # f at past grid points, newest first
+            for n in range(len(t) - 1):
+                t0, t1 = t[n], t[n + 1]
+                dt = t1 - t0
+                f0 = func(t0, y)
+                hist = [f0] + hist[: max_order - 2]
+                order = len(hist)
+                if order < 3:  # _MIN_ORDER - 1
+                    k1 = f0
+                    k2 = func(t0 + dt / 3, y + dt * k1 / 3)
+                    k3 = func(t0 + dt * 2 / 3, y + dt * (k2 - k1 / 3))
+                    k4 = func(t1, y + dt * (k1 - k2 + k3))
+                    dy = (k1 + 3 * (k2 + k3) + k4) * dt * 0.125
+                else:
+                    ab, am = _AB[order], _AM[order + 1]
+                    dy = dt * sum(c * h for c, h in zip(ab, hist))
+                    delta = dt * sum(c * h for c, h in zip(am[1:], hist))
+                    converged = False
+                    for _ in range(max_iters):
+                        dy_old = dy
+                        f_new = func(t1, y + dy)
+                        dy = dt * am[0] * f_new + delta
+                        scale = atol + rtol * torch.maximum(dy_old.abs(), dy.abs())
+                        converged = bool(((dy_old - dy).abs() / scale).max() < 1)
+                        if converged:
+                            break
+                    if require_convergence:
+                        assert converged, f"corrector did not converge at step {n}"
+                y = y + dy
+                ys.append(y)
+            return torch.stack(ys)
+
+        def odeint(func, y0, t, method="euler", rtol=1e-7, atol=1e-9, **kw):
             if method in (None, "euler"):
                 return _odeint_euler(func, y0, t)
             if method in _ADAPTIVE_TABLEAUS:
                 return _odeint_adaptive(func, y0, t, method, rtol, atol)
+            if method == "implicit_adams":
+                return _odeint_implicit_adams(func, y0, t, rtol, atol, **kw)
             raise NotImplementedError(f"stub does not support method={method!r}")
 
         td.odeint = odeint

@@ -141,6 +141,63 @@ def test_adaptive_trajectory_parity_vs_torchdiffeq(method):
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("n_grid", [11, 31])
+def test_implicit_adams_trajectory_parity_vs_torchdiffeq(n_grid):
+    """Trajectory parity for `implicit_adams` against the faithful torch
+    reimplementation of torchdiffeq's fixed_adams.py (tests/ref_loader.py):
+    3/8-rule RK4 bootstrap, growing order up to 11, AM corrector with <= 4
+    functional iterations and early convergence exit, default odeint
+    tolerances (the reference's plain torchdiffeq.odeint call,
+    models/flow_matching.py:54 / webui.py solver dropdown). The 31-point
+    grid exercises order saturation and the scanned tail.
+
+    Note: at the default tolerances the convergence threshold sits at f32
+    machine precision, so the corrector runs all 4 iterations each step (in
+    torchdiffeq too, which then warns 'Solution may be incorrect'); the
+    early-exit path is still implemented and bit-matched. See the
+    _odeint_implicit_adams docstring for the two fixed_adams.py details that
+    are under-determined without the package installed."""
+    torch = pytest.importorskip("torch")
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ref_loader import _install_stubs
+
+    _install_stubs()
+    import torchdiffeq
+
+    rng = np.random.default_rng(1)
+    A = rng.standard_normal((6, 6)).astype(np.float32) * 0.8
+    y0 = rng.standard_normal((4, 6)).astype(np.float32)
+
+    def ft(t, y):
+        return y @ torch.from_numpy(A).T + torch.sin(3.0 * t) * 0.5
+
+    def fj(t, y):
+        return y @ jnp.asarray(A).T + jnp.sin(3.0 * t) * 0.5
+
+    tt = torch.linspace(0, 1, n_grid)
+    ref = torchdiffeq.odeint(
+        ft, torch.from_numpy(y0), tt, method="implicit_adams",
+    )[-1].numpy()
+    got = np.asarray(
+        odeint(fj, jnp.asarray(y0), jnp.linspace(0.0, 1.0, n_grid),
+               method="implicit_adams")
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_implicit_adams_jit():
+    import jax
+
+    f = lambda t, y: -y
+    y0 = jnp.ones((2, 8))
+    y = jax.jit(
+        lambda y0: odeint(f, y0, jnp.linspace(0.0, 1.0, 21), method="implicit_adams")
+    )(y0)
+    np.testing.assert_allclose(np.asarray(y), np.exp(-1.0), rtol=1e-5)
+
+
 def test_adaptive_bf16_state_keeps_f32_controller():
     # regression: with a bf16 state the step controller must still run in
     # f32 — a bf16 t/dt quantizes the grid (dy/dt=y gave 2.859 vs e) and can

@@ -103,6 +103,45 @@ def cmd_convert(args):
     print(f"converted {args.kind}: {n/1e6:.2f}M params -> {args.output}")
 
 
+def cmd_export(args):
+    """Reverse conversion: orbax checkpoint -> reference torch .pt, so
+    TPU-trained models run in the reference PyTorch stack (round-trip
+    bit-exactness tested in tests/test_parity_stabletts.py)."""
+    import os
+
+    import jax
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    from stabletts_tpu.config import MelConfig, VocosConfig
+    from stabletts_tpu.utils.convert import (
+        flax_to_torch_stabletts,
+        flax_to_torch_vocos,
+        save_torch_checkpoint,
+    )
+
+    if args.kind == "stabletts":
+        from stabletts_tpu.models import build_stabletts, init_stabletts_params
+
+        template = init_stabletts_params(build_stabletts(), jax.random.PRNGKey(0))["params"]
+        exporter = flax_to_torch_stabletts
+    else:
+        import jax.numpy as jnp
+
+        from stabletts_tpu.models.vocos import Vocos
+
+        model = Vocos(VocosConfig(), MelConfig())
+        template = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, MelConfig().n_mels))
+        )["params"]
+        exporter = flax_to_torch_vocos
+    params = ocp.StandardCheckpointer().restore(os.path.abspath(args.input), template)
+    sd = exporter(params)
+    n = sum(int(np.prod(v.shape)) for v in sd.values())
+    save_torch_checkpoint(sd, args.output)
+    print(f"exported {args.kind}: {n/1e6:.2f}M params -> {args.output}")
+
+
 def cmd_synth(args):
     from stabletts_tpu.api import StableTTSAPI
     from stabletts_tpu.utils.audio_io import save_wav
@@ -174,6 +213,14 @@ def main(argv=None):
     pc.add_argument("--output", required=True, help="orbax checkpoint dir to write")
     pc.add_argument("--kind", default="stabletts", choices=["stabletts", "vocos", "ffgan"])
     pc.set_defaults(fn=cmd_convert)
+
+    pe = sub.add_parser(
+        "export", help="export an orbax checkpoint to a reference torch .pt"
+    )
+    pe.add_argument("--input", required=True, help="orbax checkpoint dir")
+    pe.add_argument("--output", required=True, help="torch .pt file to write")
+    pe.add_argument("--kind", default="stabletts", choices=["stabletts", "vocos"])
+    pe.set_defaults(fn=cmd_export)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -223,3 +223,27 @@ def test_synthesise_parity_dopri5(pair, inputs):
     control step size, and interpolate at t=1 identically, so the mel parity
     bound is fp32 accumulation noise, not solver tolerance."""
     _synthesise_parity(pair, inputs, 1.0, "dopri5", n_steps=10, mel_tol=2e-3, mae_tol=5e-4)
+
+
+def test_checkpoint_export_roundtrip(pair):
+    """torch -> flax -> torch round trip is bit-exact on every exported
+    tensor, and the exported dict covers the reference's full state dict
+    except recomputed buffers (rotary caches). This lets TPU-trained
+    checkpoints run in the reference PyTorch stack."""
+    from stabletts_tpu.utils.convert import flax_to_torch_stabletts
+
+    ref_tts, _, variables = pair
+    sd0 = {k: v.detach().cpu().numpy() for k, v in ref_tts.state_dict().items()}
+    sd1 = flax_to_torch_stabletts(variables["params"])
+
+    buffers = {k for k in sd0 if "rotary" in k}
+    assert set(sd1) == set(sd0) - buffers
+    for k, v in sd1.items():
+        np.testing.assert_array_equal(v, sd0[k], err_msg=k)
+
+    # the exported dict loads back into the reference module (buffers are
+    # regenerated by the module itself)
+    ref_tts.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd1.items()},
+        strict=False,
+    )

@@ -57,3 +57,18 @@ def test_vocos_backbone_parity(pair):
         backbone.apply({"params": variables["params"]["backbone"]}, jnp.asarray(mel))
     )
     np.testing.assert_allclose(got_h, ref_h, rtol=2e-4, atol=2e-4)
+
+
+def test_vocos_export_roundtrip(pair):
+    """torch -> flax -> torch round trip for Vocos: bit-exact tensors, full
+    coverage minus the constant ISTFT window buffer."""
+    from stabletts_tpu.utils.convert import flax_to_torch_vocos
+
+    ref_vocos, _, variables = pair
+    sd0 = {k: v.detach().cpu().numpy() for k, v in ref_vocos.state_dict().items()}
+    sd1 = flax_to_torch_vocos(variables["params"])
+
+    buffers = {k for k in sd0 if "window" in k}
+    assert set(sd1) == set(sd0) - buffers
+    for k, v in sd1.items():
+        np.testing.assert_array_equal(v, sd0[k], err_msg=k)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import logging
 import os
+import re
 import time
 from typing import Optional, Sequence, Tuple
 
@@ -394,6 +395,104 @@ class StableTTSAPI:
         y_lengths = np.asarray(out["y_lengths"])
         hop = self.mel_config.hop_length
         return [audio[i, : y_lengths[i] * hop] for i in range(b)]
+
+    # --- long-text serving ----------------------------------------------
+    # The synthesise mel cap tops out at 8192 frames (~95 s); the reference
+    # simply truncates longer requests (it has no chunking either). Long
+    # texts are split into sentence chunks, synthesized in ONE batched call
+    # sharing the reference voice (so speaker identity is consistent), and
+    # joined with a short equal-power crossfade to avoid boundary clicks.
+
+    _SENT_SPLIT = re.compile(r"(?<=[.!?;。！？；…])\s*")
+    _CLAUSE_SPLIT = re.compile(r"(?<=[,:、，：])\s*")
+
+    @classmethod
+    def _split_sentences(cls, text: str, max_chars: int) -> list:
+        """Sentence-split `text`, then greedily merge tiny sentences and
+        clause-split (then hard-split) any single piece over max_chars."""
+        pieces = [s for s in cls._SENT_SPLIT.split(text.strip()) if s.strip()]
+        atomic: list = []
+        for s in pieces:
+            if len(s) <= max_chars:
+                atomic.append(s)
+                continue
+            clauses = [c for c in cls._CLAUSE_SPLIT.split(s) if c.strip()]
+            for c in clauses:
+                while len(c) > max_chars:  # pathological unpunctuated runs
+                    cut = c.rfind(" ", 0, max_chars)
+                    cut = cut if cut > max_chars // 2 else max_chars
+                    atomic.append(c[:cut])
+                    c = c[cut:].lstrip()
+                if c:
+                    atomic.append(c)
+        chunks: list = []
+        for s in atomic:
+            if chunks and len(chunks[-1]) + len(s) + 1 <= max_chars:
+                sep = "" if not chunks[-1][-1:].isascii() else " "
+                chunks[-1] = chunks[-1] + sep + s
+            else:
+                chunks.append(s)
+        return chunks
+
+    def inference_long(
+        self,
+        text: str,
+        ref_audio: str | np.ndarray,
+        language: str,
+        step: int = 10,
+        temperature: float = 1.0,
+        length_scale: float = 1.0,
+        solver: str = "euler",
+        cfg: float = 3.0,
+        max_mel_len: Optional[int] = None,
+        seed: int = 0,
+        max_chars_per_chunk: Optional[int] = None,
+        crossfade_ms: float = 40.0,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Arbitrary-length text -> (waveform [1, T_wav], mel [1, n_mels, T]).
+
+        Unlike inference(), there is no effective length limit: the text is
+        sentence-chunked (each chunk well under the 8192-frame synthesise
+        cap), all chunks are synthesized in one batched call with the same
+        reference voice, and the waveforms are joined with an equal-power
+        crossfade. The reference stack truncates at its mel cap instead —
+        this is an extension, not a parity surface."""
+        if max_chars_per_chunk is None:
+            # ~12 chars/s read-aloud English, ~4 chars/s zh/ja: keep each
+            # chunk around 20-30 s of audio, far under the 95 s cap
+            max_chars_per_chunk = 300 if language == "english" else 100
+        chunks = self._split_sentences(text, max_chars_per_chunk)
+        if not chunks:
+            raise ValueError("no synthesizable text after splitting")
+        if len(chunks) == 1:
+            wav, mel = self.inference(
+                chunks[0], ref_audio, language, step=step, temperature=temperature,
+                length_scale=length_scale, solver=solver, cfg=cfg,
+                max_mel_len=max_mel_len, seed=seed,
+            )
+            return wav, mel
+        logger.info("inference_long: %d chunks", len(chunks))
+        wavs = self.batch_inference(
+            [(c, language) for c in chunks], ref_audio, step=step,
+            temperature=temperature, length_scale=length_scale, solver=solver,
+            cfg=cfg, max_mel_len=max_mel_len, seed=seed,
+        )
+        xfade = int(self.mel_config.sample_rate * crossfade_ms / 1000.0)
+        out = wavs[0].astype(np.float32)
+        for w in wavs[1:]:
+            w = w.astype(np.float32)
+            n = min(xfade, len(out), len(w))
+            if n > 0:
+                t = np.linspace(0.0, np.pi / 2, n, dtype=np.float32)
+                out = np.concatenate(
+                    [out[:-n], out[-n:] * np.cos(t) ** 2 + w[:n] * np.sin(t) ** 2, w[n:]]
+                )
+            else:
+                out = np.concatenate([out, w])
+        # mel for plotting/debug: plain concat of per-chunk mels is not
+        # returned chunk-accurate under crossfade; recompute from audio
+        mel = log_mel_spectrogram(jnp.asarray(out)[None, :], self.mel_config)
+        return out[None, :], np.asarray(mel).transpose(0, 2, 1)
 
     def get_params(self) -> Tuple[float, float]:
         """(tts_params_M, vocoder_params_M) (reference: api.py:79-82)."""

@@ -1,7 +1,9 @@
-"""Worker for the 2-process `jax.distributed` integration test
-(tests/test_multiprocess.py). Each process owns 4 virtual CPU devices; the
-pair forms one 8-device SPMD world (the CPU stand-in for a 2-host TPU pod
-slice, replacing the reference's DDP rendezvous at train.py:25-28).
+"""Worker for the multi-process `jax.distributed` integration tests
+(tests/test_multiprocess.py). Each process owns --local-devices virtual CPU
+devices; together the --num-procs processes form one SPMD world (the CPU
+stand-in for an N-host TPU pod slice, replacing the reference's DDP
+rendezvous at train.py:25-28). Tested topologies: 2 hosts x 4 devices and
+4 hosts x 2 devices, both an 8-device world.
 
 Runs the REAL train() entry point — rank-strided sampler shard,
 make_array_from_process_local_data batch assembly, cross-process psum in the
@@ -22,21 +24,28 @@ def main():
     ap.add_argument("--port", required=True)
     ap.add_argument("--data-dir", required=True)
     ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--num-procs", type=int, default=2)
+    ap.add_argument("--local-devices", type=int, default=4)
+    ap.add_argument("--batch-size", type=int, default=4)
     args = ap.parse_args()
 
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=4"
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={args.local_devices}"
+        )
 
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(
-        f"localhost:{args.port}", num_processes=2, process_id=args.rank
+        f"localhost:{args.port}", num_processes=args.num_procs, process_id=args.rank
     )
-    assert jax.process_count() == 2
-    assert jax.device_count() == 8
-    assert jax.local_device_count() == 4
+    # scaling bookkeeping: every host sees the same global world, owns
+    # exactly its local slice, and contributes batch_size items per step
+    assert jax.process_count() == args.num_procs
+    assert jax.device_count() == args.num_procs * args.local_devices
+    assert jax.local_device_count() == args.local_devices
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import numpy as np
@@ -53,13 +62,25 @@ def main():
     tiny_mel = MelConfig(n_mels=16)
     cfg = TrainConfig(
         train_dataset_path=os.path.join(args.data_dir, "filelist.jsonl"),
-        batch_size=4,  # per process -> global batch 8 over 8 devices
+        batch_size=args.batch_size,  # per process; global = num_procs * this
         num_epochs=2,
         model_save_path=os.path.join(args.out_dir, "ckpt"),
         warmup_steps=1,
         bucket_boundaries=(32, 64, 128),
         max_text_len=16,
     )
+
+    # per-host shard bookkeeping: one assembled global batch must have
+    # global shape num_procs*batch_size with this host holding exactly
+    # batch_size rows across its local shards
+    from stabletts_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh()
+    probe = np.zeros((cfg.batch_size, 8), np.float32)
+    garr = mesh_lib.shard_batch(mesh, (probe,))[0]
+    assert garr.shape == (args.num_procs * cfg.batch_size, 8), garr.shape
+    local_rows = sum(s.data.shape[0] for s in garr.addressable_shards)
+    assert local_rows == cfg.batch_size, local_rows
 
     state = train(cfg, tiny_model, tiny_mel)
     final_params = jax.device_get(state.params)

@@ -1,4 +1,6 @@
-"""Two-process `jax.distributed` integration test (CPU, Gloo collectives).
+"""Multi-process `jax.distributed` integration tests (CPU, Gloo collectives)
+over two topologies of the same 8-device world: 2 hosts x 4 devices and
+4 hosts x 2 devices.
 
 Exercises every process_count>1 branch that single-process tests cannot:
 per-rank `make_array_from_process_local_data` batch assembly
@@ -8,10 +10,11 @@ rank-strided bucket sampler — the replacement for the reference's DDP
 rendezvous + NCCL all-reduce (reference: train.py:25-28, 51).
 
 The ground truth is a single-process run over the SAME logical global batch:
-rank 0's and rank 1's sampler shards concatenated in device order. Since the
-z-slice PRNG is derived per (seed, epoch, item) in collate, both worlds build
-identical global batches; the only numerical difference left is collective
-reduction order, so params match to f32 reduction tolerance.
+all ranks' sampler shards concatenated in device order. Since the z-slice
+PRNG is derived per (seed, epoch, item) in collate, every world builds
+identical global batches for its own sharding; the only numerical difference
+left is collective reduction order, so params match to f32 reduction
+tolerance.
 """
 
 import json
@@ -53,9 +56,10 @@ def _write_dataset(tmp_path, n_items=16, n_mels=16):
     return filelist
 
 
-def _single_process_ground_truth(filelist, num_epochs=2, seed=0):
-    """Replays the 2-process training on this process's 8 devices: global
-    batch = concat(rank0 shard, rank1 shard), same step/rng schedule."""
+def _single_process_ground_truth(filelist, num_replicas=2, batch_size=4,
+                                 num_epochs=2, seed=0):
+    """Replays the N-process training on this process's 8 devices: global
+    batch = concat of every rank's shard, same step/rng schedule."""
     from stabletts_tpu.config import MelConfig, ModelConfig, TrainConfig
     from stabletts_tpu.data.dataset import StableDataset, collate
     from stabletts_tpu.data.sampler import DistributedBucketSampler
@@ -71,17 +75,17 @@ def _single_process_ground_truth(filelist, num_epochs=2, seed=0):
     )
     tiny_mel = MelConfig(n_mels=16)
     cfg = TrainConfig(
-        train_dataset_path=str(filelist), batch_size=4, num_epochs=num_epochs,
-        warmup_steps=1, bucket_boundaries=(32, 64, 128), max_text_len=16,
-        seed=seed,
+        train_dataset_path=str(filelist), batch_size=batch_size,
+        num_epochs=num_epochs, warmup_steps=1,
+        bucket_boundaries=(32, 64, 128), max_text_len=16, seed=seed,
     )
     dataset = StableDataset(str(filelist))
     samplers = [
         DistributedBucketSampler(
             dataset.lengths, cfg.batch_size, list(cfg.bucket_boundaries),
-            num_replicas=2, rank=r,
+            num_replicas=num_replicas, rank=r,
         )
-        for r in (0, 1)
+        for r in range(num_replicas)
     ]
     steps_per_epoch = len(samplers[0])
     mesh = mesh_lib.make_mesh()
@@ -96,15 +100,15 @@ def _single_process_ground_truth(filelist, num_epochs=2, seed=0):
     for epoch in range(cfg.num_epochs):
         for s in samplers:
             s.set_epoch(epoch)
-        for work0, work1 in zip(samplers[0], samplers[1]):
+        for works in zip(*samplers):
             locals_ = []
-            for s, (bucket, indices) in zip(samplers, (work0, work1)):
+            for s, (bucket, indices) in zip(samplers, works):
                 locals_.append(collate(
                     dataset, indices, s.bucket_mel_len(bucket),
                     cfg.max_text_len, tiny_mel.n_mels, (cfg.seed, epoch),
                 ).as_tuple())
             global_batch = tuple(
-                np.concatenate([a, b], axis=0) for a, b in zip(*locals_)
+                np.concatenate(parts, axis=0) for parts in zip(*locals_)
             )
             device_batch = mesh_lib.shard_batch(mesh, global_batch)
             state, metrics = step_fn(state, device_batch, base_rng)
@@ -112,23 +116,35 @@ def _single_process_ground_truth(filelist, num_epochs=2, seed=0):
 
 
 @pytest.mark.skipif(jax.device_count() != 8, reason="needs the 8-device CPU mesh")
-def test_two_process_training_matches_single_process(tmp_path):
+@pytest.mark.parametrize(
+    "num_procs,local_devices,batch_size",
+    [
+        pytest.param(2, 4, 4, id="2hosts_x_4dev"),
+        pytest.param(4, 2, 2, id="4hosts_x_2dev"),
+    ],
+)
+def test_multi_process_training_matches_single_process(
+    tmp_path, num_procs, local_devices, batch_size
+):
     filelist = _write_dataset(tmp_path)
     out_dir = tmp_path / "out"
     out_dir.mkdir()
     port = _free_port()
 
     env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)  # workers set their own 4-device flag
+    env.pop("XLA_FLAGS", None)  # workers set their own device-count flag
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(REPO, "tests", "mp_worker.py"),
              "--rank", str(r), "--port", str(port),
-             "--data-dir", str(tmp_path), "--out-dir", str(out_dir)],
+             "--data-dir", str(tmp_path), "--out-dir", str(out_dir),
+             "--num-procs", str(num_procs),
+             "--local-devices", str(local_devices),
+             "--batch-size", str(batch_size)],
             cwd=REPO, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
-        for r in (0, 1)
+        for r in range(num_procs)
     ]
     outs = []
     for p in procs:
@@ -137,17 +153,18 @@ def test_two_process_training_matches_single_process(tmp_path):
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
-            pytest.fail("2-process training timed out")
+            pytest.fail(f"{num_procs}-process training timed out")
         outs.append(out)
     for r, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {r} failed:\n{out[-4000:]}"
         assert f"rank {r}: OK" in out
 
-    # both ranks observed identical (replicated) final params
-    got = [np.load(out_dir / f"params_rank{r}.npz") for r in (0, 1)]
-    assert set(got[0].files) == set(got[1].files)
-    for k in got[0].files:
-        np.testing.assert_array_equal(got[0][k], got[1][k])
+    # every rank observed identical (replicated) final params
+    got = [np.load(out_dir / f"params_rank{r}.npz") for r in range(num_procs)]
+    for r in range(1, num_procs):
+        assert set(got[0].files) == set(got[r].files)
+        for k in got[0].files:
+            np.testing.assert_array_equal(got[0][k], got[r][k])
 
     # collective orbax save produced the per-epoch directories
     assert (out_dir / "ckpt" / "checkpoint_1").is_dir()
@@ -155,7 +172,9 @@ def test_two_process_training_matches_single_process(tmp_path):
 
     # the distributed run matches a single-process run of the same logical
     # batches (tolerance = f32 collective reduction-order noise)
-    truth = _single_process_ground_truth(filelist)
+    truth = _single_process_ground_truth(
+        filelist, num_replicas=num_procs, batch_size=batch_size
+    )
     flat_truth = {
         "/".join(map(str, path)): np.asarray(leaf)
         for path, leaf in jax.tree_util.tree_flatten_with_path(truth)[0]

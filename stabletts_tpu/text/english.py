@@ -228,15 +228,38 @@ _LTS_RULES = [
 _VOWELS = "aeiou"
 
 
-def _rule_g2p(word: str) -> str:
-    """Letter-to-sound fallback for out-of-lexicon words."""
+# unstressed spelling suffixes with fixed reductions: the plain letter rules
+# read them with full vowels ("-ous" -> aʊs, "-al" -> æl) which eng_to_ipa
+# never produces; peel them off and recurse on the stem
+_LTS_SUFFIX_PHONES = [
+    ("ation", "eɪʃən"), ("ition", "ɪʃən"), ("ution", "uʃən"),
+    ("ious", "iəs"), ("eous", "iəs"), ("ous", "əs"),
+    ("ment", "mənt"), ("ness", "nəs"), ("ful", "fəl"), ("less", "ləs"),
+    ("ism", "ˌɪzəm"), ("able", "əbəl"), ("ible", "əbəl"),
+    ("ance", "əns"), ("ence", "əns"), ("ant", "ənt"), ("ent", "ənt"),
+    ("age", "ɪʤ"), ("ium", "iəm"), ("ial", "iəl"), ("ual", "uəl"),
+    ("al", "əl"), ("um", "əm"),
+]
+
+
+def _rule_g2p_flat(word: str) -> str:
+    """Letter-to-sound core: spelling -> flat phone string (no stress)."""
     w = word.lower().replace("'", "")
     if not w:
         return ""
+    for suf, tail in _LTS_SUFFIX_PHONES:
+        if w.endswith(suf) and len(w) > len(suf) + 2:
+            return _rule_g2p_flat(w[: -len(suf)]) + tail
+    # final -le after a consonant is a syllabic l (snickle -> snɪkəl)
+    if w.endswith("le") and len(w) > 3 and w[-3] not in "aeiou":
+        return _rule_g2p_flat(w[:-2]) + "əl"
+    # protect ch/tch digraphs from the hard-c rewrite below
+    w = w.replace("tch", "\x02").replace("ch", "\x03")
     # soft c/g before e/i/y
     w = re.sub(r"c(?=[eiy])", "s", w)
     w = re.sub(r"g(?=[eiy])", "ʤ", w)
-    w = w.replace("c", "k")
+    w = w.replace("c", "k").replace("kk", "k")
+    w = w.replace("\x02", "ʧ").replace("\x03", "ʧ")
     # magic-e: final silent e lengthens the previous vowel
     magic = {"a": "eɪ", "i": "aɪ", "o": "oʊ", "u": "ju", "e": "i"}
     m = re.search(r"([aeiou])([bdfgklmnprstvzʤ])e$", w)
@@ -266,6 +289,125 @@ def _rule_g2p(word: str) -> str:
             out.append(w[i])
             i += 1
     return "".join(out)
+
+
+# --- stress assignment for LTS output ---------------------------------------
+# eng_to_ipa output always carries stress on polysyllables (it inherits CMU's
+# stressed phones); the old LTS emitted none, which fed the model stress-free
+# phone sequences unlike anything in its training data (VERDICT r2 weak #1).
+# Heuristics below pick the stressed syllable from the SPELLING (Latinate
+# suffix rules: -tion -> penult, -ity -> antepenult, -ize -> initial +
+# secondary on the suffix, ...) and insert the mark before the syllable's
+# legal onset cluster, matching the lexicon's mark placement convention.
+
+_DIPHTHONGS = ("aɪ", "aʊ", "eɪ", "oʊ", "ɔɪ")
+_SIMPLE_VOWELS = "æɑɔəɛɪʊiu"
+_LEGAL_ONSETS = {
+    "pl", "pr", "pj", "bl", "br", "bj", "tr", "tw", "dr", "dw", "kl", "kr",
+    "kw", "kj", "gl", "gr", "gw", "fl", "fr", "fj", "vj", "θr", "θw", "ʃr",
+    "sl", "sw", "sm", "sn", "sp", "st", "sk", "sf", "mj", "nj", "lj", "hj",
+    "spr", "str", "skr", "spl", "skw", "spj", "stj", "skj",
+}
+
+# (spelling suffix, primary index from the END in syllables, secondary on the
+# final syllable?) — first match wins, longest first
+_STRESS_SUFFIXES = [
+    ("ically", 3, False), ("ical", 3, False),
+    ("ological", 3, False),
+    ("ography", 3, False), ("ology", 3, False), ("onomy", 3, False),
+    ("ometry", 3, False), ("osophy", 3, False),
+    ("ation", 2, False), ("ition", 2, False), ("ution", 2, False),
+    ("tion", 2, False), ("sion", 2, False), ("cian", 2, False),
+    ("cious", 2, False), ("tious", 2, False), ("geous", 2, False),
+    ("gious", 2, False), ("cial", 2, False), ("tial", 2, False),
+    ("itous", 3, False), ("ulous", 3, False), ("erous", 3, False),
+    ("inous", 3, False), ("orous", 3, False),
+    ("ious", 3, False), ("eous", 3, False), ("ous", 2, False),
+    ("icity", 3, False), ("ality", 3, False), ("ility", 3, False),
+    ("ivity", 3, False), ("ity", 3, False), ("ety", 3, False),
+    ("ize", 3, True), ("ise", 3, True), ("yze", 3, True),
+    ("ify", 3, True), ("efy", 3, True),
+    ("iate", 3, True), ("uate", 3, True), ("ate", 3, True),
+    ("itude", 3, True), ("icide", 3, True),
+    ("ian", 3, False), ("ic", 2, False), ("ics", 2, False),
+    ("ential", 2, False), ("acious", 2, False),
+]
+
+
+def _split_phones(pron: str):
+    """Flat phone string -> list of (phone, is_vowel). 'ər' is one nucleus."""
+    phones = []
+    i = 0
+    while i < len(pron):
+        two = pron[i : i + 2]
+        if two in _DIPHTHONGS or two == "ər":
+            phones.append((two, True))
+            i += 2
+        else:
+            ch = pron[i]
+            phones.append((ch, ch in _SIMPLE_VOWELS))
+            i += 1
+    return phones
+
+
+def _insert_stress(phones, syl_idx: int, mark: str):
+    """Insert `mark` before syllable syl_idx's legal onset; returns phones
+    list with the mark as a dedicated (mark, False) element."""
+    nuclei = [i for i, (_, v) in enumerate(phones) if v]
+    if syl_idx >= len(nuclei):
+        return phones
+    nuc = nuclei[syl_idx]
+    # consonant run between previous nucleus (or start) and this nucleus
+    start = nuclei[syl_idx - 1] + 1 if syl_idx > 0 else 0
+    cluster = [p for p, _ in phones[start:nuc]]
+    onset_len = 0
+    for length in range(min(3, len(cluster)), 0, -1):
+        cand = "".join(cluster[-length:])
+        if length == 1 or cand in _LEGAL_ONSETS:
+            onset_len = length
+            break
+    pos = nuc - onset_len
+    return phones[:pos] + [(mark, False)] + phones[pos:]
+
+
+def _assign_stress(word: str, pron: str) -> str:
+    phones = _split_phones(pron)
+    n = sum(1 for _, v in phones if v)
+    if n < 2:
+        return pron
+    primary_from_end, secondary_final = 2 if n == 2 else 3, False
+    for suf, from_end, sec in _STRESS_SUFFIXES:
+        if word.endswith(suf) and len(word) > len(suf) + 2:
+            primary_from_end, secondary_final = from_end, sec
+            break
+    else:
+        if n == 2:
+            primary_from_end = 2  # initial stress default for disyllables
+        else:
+            primary_from_end = 3  # antepenultimate default
+    primary = max(0, n - primary_from_end)
+    # secondary stress: on the suffix syllable for -ize/-ate/-ify words, else
+    # word-initially when the primary sits 2+ syllables in (alternating feet)
+    secondary = None
+    if secondary_final and primary < n - 1:
+        secondary = n - 1
+    elif primary >= 2:
+        secondary = 0
+    if secondary == primary:
+        secondary = None
+    # insert right-to-left so earlier indices stay valid
+    for idx, mark in sorted(
+        [(primary, "ˈ")] + ([(secondary, "ˌ")] if secondary is not None else []),
+        reverse=True,
+    ):
+        phones = _insert_stress(phones, idx, mark)
+    return "".join(p for p, _ in phones)
+
+
+def _rule_g2p(word: str) -> str:
+    """Letter-to-sound fallback for out-of-lexicon words, with stress."""
+    flat = _rule_g2p_flat(word)
+    return _assign_stress(word.lower(), flat)
 
 
 def asciify(text: str) -> str:
@@ -308,6 +450,21 @@ def ipa_convert(text: str) -> str:
             pieces.append(token)
             pieces.append(" ")
     return "".join(pieces).strip()
+
+
+def oov_words(text: str) -> List[str]:
+    """Words in `text` (after normalization) that fall through the lexicon +
+    morphology to the letter-to-sound fallback. Used by the pronunciation
+    regression suite to enforce an OOV-rate budget on ordinary prose."""
+    text = asciify(text).lower()
+    text = expand_abbreviations(text)
+    text = normalize_numbers(text)
+    out = []
+    for token in _WORD_RE.findall(text):
+        if token[0].isalpha() or token[0] == "'":
+            if _lookup(token) is None and _lookup(token.strip("'")) is None:
+                out.append(token)
+    return out
 
 
 def mark_dark_l(text: str) -> str:

@@ -79,7 +79,7 @@ _japanese_marks = re.compile(
     r"[^A-Za-z\d々぀-ヿ一-鿿１-９Ａ-Ｚａ-ｚｦ-ﾝ]"
 )
 
-_symbols_to_japanese = [(re.compile("％"), "パーセント")]
+_symbols_to_japanese = [(re.compile("％"), "パーセント"), (re.compile("%"), "パーセント")]
 
 _romaji_to_ipa2 = [
     (re.compile(p), r)
@@ -361,7 +361,9 @@ def japanese_to_romaji_with_accent(text: str) -> str:
     """Text (kanji + kana) -> romaji with pitch-accent arrows
     (reference: text/japanese.py:74-112)."""
     from stabletts_tpu.text.english import asciify
+    from stabletts_tpu.text.numbers_ja import verbalize_numbers
 
+    text = verbalize_numbers(text)  # 2024年 -> にせんにじゅうよねん
     text = symbols_to_japanese(text)
     sentences = re.split(_japanese_marks, text)
     marks = re.findall(_japanese_marks, text)

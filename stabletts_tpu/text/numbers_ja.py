@@ -1,0 +1,211 @@
+"""Japanese number verbalization: arabic numerals (+ counters) -> kana.
+
+The reference inherits digit reading from Open JTalk's text-normalization
+frontend (reference: text/japanese.py:74-112 via pyopenjtalk); this module
+reproduces the same behavior rule-based: positional readings with the
+standard euphonic changes (300 さんびゃく, 600 ろっぴゃく, 8000 はっせん),
+counter-specific sound changes (1分 いっぷん, 3本 さんぼん, 10匹 じゅっぴき),
+and the irregular native-number series for dates (1日 ついたち, 20日 はつか),
+people (1人 ひとり), the つ counter (3つ みっつ), and 20歳 はたち.
+"""
+
+from __future__ import annotations
+
+import re
+
+_DIGITS = ["", "いち", "に", "さん", "よん", "ご", "ろく", "なな", "はち", "きゅう"]
+
+# (multiplier reading, per-digit overrides)
+_TENS = ("じゅう", {})
+_HUNDREDS = ("ひゃく", {3: "さんびゃく", 6: "ろっぴゃく", 8: "はっぴゃく"})
+_THOUSANDS = ("せん", {3: "さんぜん", 8: "はっせん"})
+_MYRIADS = ["", "まん", "おく", "ちょう", "けい"]
+
+
+def _under_10000(n: int, sen_needs_ichi: bool = False) -> str:
+    """1..9999 -> kana. sen_needs_ichi: 1000 reads いっせん (true inside
+    higher myriad groups: 1000万 = いっせんまん) vs bare せん."""
+    out = []
+    th, rem = divmod(n, 1000)
+    if th:
+        if th == 1:
+            out.append("いっせん" if sen_needs_ichi else "せん")
+        else:
+            out.append(_THOUSANDS[1].get(th, _DIGITS[th] + _THOUSANDS[0]))
+    h, rem = divmod(rem, 100)
+    if h:
+        out.append(_HUNDREDS[1].get(h, (_DIGITS[h] if h > 1 else "") + _HUNDREDS[0]))
+    t, ones = divmod(rem, 10)
+    if t:
+        out.append((_DIGITS[t] if t > 1 else "") + _TENS[0])
+    if ones:
+        out.append(_DIGITS[ones])
+    return "".join(out)
+
+
+def number_to_kana(n) -> str:
+    """Integer (int or digit string, commas allowed) -> kana reading."""
+    s = str(n).replace(",", "")
+    neg = s.startswith("-")
+    if neg:
+        s = s[1:]
+    s = s.lstrip("0") or "0"
+    if s == "0":
+        return "マイナスゼロ" if neg else "ゼロ"
+    val = int(s)
+    groups = []
+    idx = 0
+    while val > 0 and idx < len(_MYRIADS):
+        val, g = divmod(val, 10000)
+        if g:
+            groups.append(_under_10000(g, sen_needs_ichi=idx > 0) + _MYRIADS[idx])
+        idx += 1
+    out = "".join(reversed(groups))
+    return ("マイナス" if neg else "") + out
+
+
+# --- counters ---------------------------------------------------------------
+# counter kana + sound-change table: {final-step value: full reading of the
+# (final digit + counter) unit}. The prefix (tens/hundreds/...) keeps its
+# normal reading; the table applies to the LAST digit (and 10 when the
+# number ends in exactly 10: 10分 じゅっぷん but 13分 じゅうさんぷん).
+
+_COUNTERS = {
+    "年": {"base": "ねん", 4: "よねん"},
+    "時": {"base": "じ", 4: "よじ", 7: "しちじ", 9: "くじ"},
+    "分": {"base": "ふん", 1: "いっぷん", 3: "さんぷん", 4: "よんぷん",
+           6: "ろっぷん", 8: "はっぷん", 10: "じゅっぷん"},
+    "秒": {"base": "びょう"},
+    "円": {"base": "えん", 4: "よえん"},
+    "人": {"base": "にん", 1: "ひとり", 2: "ふたり", 4: "よにん"},
+    "個": {"base": "こ", 1: "いっこ", 6: "ろっこ", 8: "はっこ", 10: "じゅっこ"},
+    "本": {"base": "ほん", 1: "いっぽん", 3: "さんぼん", 6: "ろっぽん",
+           8: "はっぽん", 10: "じゅっぽん"},
+    "匹": {"base": "ひき", 1: "いっぴき", 3: "さんびき", 6: "ろっぴき",
+           8: "はっぴき", 10: "じゅっぴき"},
+    "杯": {"base": "はい", 1: "いっぱい", 3: "さんばい", 6: "ろっぱい",
+           8: "はっぱい", 10: "じゅっぱい"},
+    "歳": {"base": "さい", 1: "いっさい", 8: "はっさい", 10: "じゅっさい"},
+    "才": {"base": "さい", 1: "いっさい", 8: "はっさい", 10: "じゅっさい"},
+    "回": {"base": "かい", 1: "いっかい", 6: "ろっかい", 8: "はっかい",
+           10: "じゅっかい"},
+    "階": {"base": "かい", 1: "いっかい", 3: "さんがい", 6: "ろっかい",
+           8: "はっかい", 10: "じゅっかい"},
+    "冊": {"base": "さつ", 1: "いっさつ", 8: "はっさつ", 10: "じゅっさつ"},
+    "枚": {"base": "まい"},
+    "台": {"base": "だい"},
+    "度": {"base": "ど"},
+    "番": {"base": "ばん"},
+    "号": {"base": "ごう"},
+    "名": {"base": "めい"},
+    "件": {"base": "けん", 1: "いっけん", 6: "ろっけん", 8: "はっけん",
+           10: "じゅっけん"},
+    "軒": {"base": "けん", 1: "いっけん", 3: "さんげん", 6: "ろっけん",
+           8: "はっけん", 10: "じゅっけん"},
+    "頭": {"base": "とう", 1: "いっとう", 8: "はっとう", 10: "じゅっとう"},
+    "羽": {"base": "わ", 3: "さんば", 6: "ろっぱ", 10: "じゅっぱ"},
+    "歩": {"base": "ほ", 1: "いっぽ", 3: "さんぽ", 6: "ろっぽ", 8: "はっぽ",
+           10: "じゅっぽ"},
+    "泊": {"base": "はく", 1: "いっぱく", 3: "さんぱく", 6: "ろっぱく",
+           8: "はっぱく", 10: "じゅっぱく"},
+    "倍": {"base": "ばい"},
+    "点": {"base": "てん", 1: "いってん", 8: "はってん", 10: "じゅってん"},
+}
+
+_MONTH = {1: "いちがつ", 2: "にがつ", 3: "さんがつ", 4: "しがつ", 5: "ごがつ",
+          6: "ろくがつ", 7: "しちがつ", 8: "はちがつ", 9: "くがつ",
+          10: "じゅうがつ", 11: "じゅういちがつ", 12: "じゅうにがつ"}
+
+_DAY = {1: "ついたち", 2: "ふつか", 3: "みっか", 4: "よっか", 5: "いつか",
+        6: "むいか", 7: "なのか", 8: "ようか", 9: "ここのか", 10: "とおか",
+        14: "じゅうよっか", 20: "はつか", 24: "にじゅうよっか"}
+
+_TSU = {1: "ひとつ", 2: "ふたつ", 3: "みっつ", 4: "よっつ", 5: "いつつ",
+        6: "むっつ", 7: "ななつ", 8: "やっつ", 9: "ここのつ", 10: "とお"}
+
+
+def _with_counter(num_str: str, counter: str) -> str:
+    n = int(num_str.replace(",", "") or "0")
+    if counter == "月" and 1 <= n <= 12:
+        return _MONTH[n]
+    if counter == "日":
+        if n in _DAY:
+            return _DAY[n]
+        return number_to_kana(n) + "にち"
+    if counter == "つ" and 1 <= n <= 10:
+        return _TSU[n]
+    if counter == "歳" and n == 20:
+        return "はたち"
+    table = _COUNTERS.get(counter)
+    if table is None:
+        return number_to_kana(n) + counter  # unknown counter: leave kanji
+    base = table["base"]
+    if n in table:  # whole-number special (1分 いっぷん, 1人 ひとり, ...)
+        return table[n]
+    # euphony applies to the final spoken unit: numbers ending in a bare
+    # じゅう (10, 20, ..., x10 but not x00) use the 10-entry
+    # (20分 = に + じゅっぷん); otherwise the final digit's entry
+    # (21分 = にじゅう + いっぷん)
+    if n % 10 == 0 and n % 100 != 0 and 10 in table:
+        return number_to_kana(n - 10) + table[10]
+    last = n % 10
+    if last and last in table:
+        return number_to_kana(n - last) + table[last]
+    return number_to_kana(n) + base
+
+
+_FULLWIDTH = str.maketrans("０１２３４５６７８９．，", "0123456789.,")
+
+_NUM_COUNTER_RE = re.compile(
+    r"(\d[\d,]*)(?:(\.\d+))?([万億兆]?)"
+    r"([年月日時分秒円人個本匹杯歳才回階冊枚台度番号名件軒頭羽歩泊倍点つ]?)"
+)
+
+_MAGNITUDE = {"万": 10000, "億": 10 ** 8, "兆": 10 ** 12}
+
+
+_HIRA_TO_KATA = {i: i + 0x60 for i in range(0x3041, 0x3097)}
+
+
+def _katakana(s: str) -> str:
+    """Readings are emitted in KATAKANA so the segmenter's particle
+    attachment cannot reinterpret a は inside a number reading as the
+    topic particle わ (はちがつ would otherwise become わちがつ)."""
+    return s.translate(_HIRA_TO_KATA)
+
+
+def verbalize_numbers(text: str) -> str:
+    """Replace arabic-numeral (+ optional 万/億/兆 magnitude + counter)
+    spans in Japanese text with their KATAKANA readings. Full-width digits
+    are normalized first."""
+    text = text.translate(_FULLWIDTH)
+
+    def repl(m: re.Match) -> str:
+        num, frac, mag, counter = m.groups()
+        if mag and not frac:
+            num = str(int(num.replace(",", "")) * _MAGNITUDE[mag])
+        elif mag and frac:
+            # 1.5万 -> いちてんごまん (read the magnitude as a word)
+            head = number_to_kana(num)
+            tail = "".join(_DIGITS[int(d)] if d != "0" else "ゼロ" for d in frac[1:])
+            mag_kana = {"万": "まん", "億": "おく", "兆": "ちょう"}[mag]
+            return _katakana(head + "てん" + tail + mag_kana + _counter_reading(counter))
+        if frac:
+            # decimal: 3.5 -> さんてんご (digit-by-digit after the point);
+            # any counter keeps its plain reading (3.5秒 さんてんごびょう)
+            head = number_to_kana(num)
+            tail = "".join(_DIGITS[int(d)] if d != "0" else "ゼロ" for d in frac[1:])
+            return _katakana(head + "てん" + tail + _counter_reading(counter))
+        if counter:
+            return _katakana(_with_counter(num, counter))
+        return _katakana(number_to_kana(num))
+
+    return _NUM_COUNTER_RE.sub(repl, text)
+
+
+def _counter_reading(counter: str) -> str:
+    if not counter:
+        return ""
+    if counter in _COUNTERS:
+        return _COUNTERS[counter]["base"]
+    return {"月": "がつ", "日": "にち", "つ": "つ"}.get(counter, counter)

@@ -102,7 +102,23 @@ def stft_real_imag(x: jnp.ndarray, n_fft: int, hop: int, win: int) -> jnp.ndarra
 
 class DiscriminatorR(nn.Module):
     """Resolution discriminator over banded complex spectrograms
-    (reference: discriminator.py:113-170)."""
+    (reference: discriminator.py:113-170).
+
+    TPU layout: the reference runs 5 independent per-band conv stacks
+    (`band_convs`, discriminator.py:129-138) — 25 tiny 32-channel convs per
+    call. Here the 5 bands are packed into channel *groups* of one conv per
+    layer (`feature_group_count=5`): frequency is padded to the widest band
+    (1025 -> 5x257, a 1.25x pad), channels become 5x32=160 (>= the 128 MXU
+    lanes), and the op count drops 5x. Numerics are preserved exactly:
+
+      * per-band 'same' zero-padding == masking the packed tensor's invalid
+        frequency columns after every layer (a conv output column near a
+        band's right edge then reads the identical zeros);
+      * flax WeightNorm normalizes each output channel over [kh, kw, in/groups]
+        — for a grouped kernel that is exactly the per-band per-channel norm;
+      * fmaps / band outputs are sliced back out in the reference's band-major
+        order, so losses and parity are unchanged.
+    """
 
     window_length: int
     channels: int = 32
@@ -113,31 +129,63 @@ class DiscriminatorR(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        import numpy as np
+
         n_freqs = self.window_length // 2 + 1
         hop = int(self.window_length * self.hop_factor)
         spec = stft_real_imag(x, self.window_length, hop, self.window_length)
         # [B, T, F, 2]; band-split along frequency
         band_idx = [(int(lo * n_freqs), int(hi * n_freqs)) for lo, hi in self.bands]
-        x_bands = [spec[:, :, lo:hi, :] for lo, hi in band_idx]
+        widths = [hi - lo for lo, hi in band_idx]
+        nb, cch = len(band_idx), self.channels
+        wmax = max(widths)
+        # pack: [B, T, wmax, 2*nb], channel groups band-major (re, im) pairs
+        packed = jnp.concatenate(
+            [
+                jnp.pad(spec[:, :, lo:hi, :], ((0, 0), (0, 0), (0, wmax - (hi - lo)), (0, 0)))
+                for lo, hi in band_idx
+            ],
+            axis=-1,
+        )
 
+        # valid band width after each layer (torch conv arithmetic: layers 1-3
+        # stride the frequency axis by 2 with pad 4, k=9)
+        valid = [list(widths)]
+        pw = [wmax]
+        for i in range(1, 5):
+            shrink = 1 <= i <= 3
+            valid.append([(w - 1) // 2 + 1 if shrink else w for w in valid[-1]])
+            pw.append((pw[-1] - 1) // 2 + 1 if shrink else pw[-1])
+
+        def freq_mask(layer: int) -> jnp.ndarray:
+            m = np.zeros((pw[layer], nb), np.float32)
+            for b_, w in enumerate(valid[layer]):
+                m[:w, b_] = 1.0
+            return jnp.asarray(np.repeat(m, cch, axis=1))[None, None]  # [1,1,W,nb*C]
+
+        h = packed
+        layer_outs = []
+        for i in range(5):
+            k = (3, 9) if i < 4 else (3, 3)
+            s = (1, 2) if 0 < i < 4 else (1, 1)
+            conv = nn.WeightNorm(
+                nn.Conv(
+                    cch * nb, k, strides=s,
+                    padding=((k[0] // 2, k[0] // 2), (k[1] // 2, k[1] // 2)),
+                    feature_group_count=nb,
+                    name=f"band_convs_{i}",
+                )
+            )
+            h = _leaky(conv(h)) * freq_mask(i).astype(h.dtype)
+            layer_outs.append(h)
+
+        # unpack in the reference's band-major order (discriminator.py:160-166)
         fmap = []
         outs = []
-        for bi, band in enumerate(x_bands):
-            h = band
-            for i in range(5):
-                k = (3, 9) if i < 4 else (3, 3)
-                s = (1, 2) if 0 < i < 4 else (1, 1)
-                conv = nn.WeightNorm(
-                    nn.Conv(
-                        self.channels, k, strides=s,
-                        padding=((k[0] // 2, k[0] // 2), (k[1] // 2, k[1] // 2)),
-                        name=f"band_convs_{bi}_{i}",
-                    )
-                )
-                h = _leaky(conv(h))
-                if i > 0:
-                    fmap.append(h)
-            outs.append(h)
+        for b_ in range(nb):
+            for i in range(1, 5):
+                fmap.append(layer_outs[i][:, :, : valid[i][b_], b_ * cch : (b_ + 1) * cch])
+            outs.append(layer_outs[4][:, :, : valid[4][b_], b_ * cch : (b_ + 1) * cch])
         h = jnp.concatenate(outs, axis=2)  # along frequency
         h = nn.WeightNorm(nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)), name="conv_post"))(h)
         fmap.append(h)

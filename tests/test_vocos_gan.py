@@ -93,6 +93,87 @@ def test_discriminator_p_parity():
         )
 
 
+def _convert_disc_r(sd, n_bands=5, channels=32):
+    """torch DiscriminatorR per-band state dict -> packed grouped-conv flax
+    params (bands concatenated along output channels, band-major)."""
+    out = {}
+    for i in range(5):
+        ks, vs, bs = [], [], []
+        for b in range(n_bands):
+            p = f"band_convs.{b}.{i}."
+            g = sd[p + "parametrizations.weight.original0"].numpy()
+            v = sd[p + "parametrizations.weight.original1"].numpy()
+            ks.append(g.reshape(-1))
+            vs.append(v.transpose(2, 3, 1, 0))  # [kh, kw, in, 32]
+            bs.append(sd[p + "bias"].numpy())
+        out[f"band_convs_{i}"] = {
+            "kernel": np.concatenate(vs, axis=-1),
+            "bias": np.concatenate(bs),
+        }
+        out[f"WeightNorm_{i}"] = {
+            f"band_convs_{i}/kernel/scale": np.concatenate(ks)
+        }
+    g = sd["conv_post.parametrizations.weight.original0"].numpy()
+    v = sd["conv_post.parametrizations.weight.original1"].numpy()
+    out["conv_post"] = {
+        "kernel": v.transpose(2, 3, 1, 0),
+        "bias": sd["conv_post.bias"].numpy(),
+    }
+    out["WeightNorm_5"] = {"conv_post/kernel/scale": g.reshape(-1)}
+    return out
+
+
+def _load_ref_discriminator_module():
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from ref_loader import _install_stubs
+
+    _install_stubs()
+    import importlib.util
+    import types
+
+    if "torchaudio" not in sys.modules:
+        ta = types.ModuleType("torchaudio")
+        ta.transforms = types.SimpleNamespace(Spectrogram=_TorchSpectrogram)
+        sys.modules["torchaudio"] = ta
+        sys.modules["torchaudio.transforms"] = ta.transforms  # type: ignore
+    spec = importlib.util.find_spec("vocoders.vocos.models.discriminator")
+    ref_disc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_disc)
+    return ref_disc
+
+
+@needs_ref
+@pytest.mark.parametrize("window_length", [512, 2048])
+def test_discriminator_r_parity(window_length):
+    """Packed grouped-conv DiscriminatorR == the reference's 5 per-band conv
+    stacks, on output and every fmap (reference discriminator.py:112-170)."""
+    ref_disc = _load_ref_discriminator_module()
+
+    torch.manual_seed(0)
+    ref_d = ref_disc.DiscriminatorR(window_length=window_length)
+    ref_d.eval()
+    params = _convert_disc_r(ref_d.state_dict())
+
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((2, 8192)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        ref_out, ref_fmap = ref_d(torch.from_numpy(audio).unsqueeze(1))
+
+    d = DiscriminatorR(window_length=window_length)
+    got_out, got_fmap = d.apply({"params": params}, jnp.asarray(audio))
+    # torch [B, C, T, F] vs flax [B, T, F, C]
+    np.testing.assert_allclose(
+        np.asarray(got_out), ref_out.permute(0, 2, 3, 1).numpy(), rtol=2e-3, atol=2e-3
+    )
+    assert len(got_fmap) == len(ref_fmap)
+    for gm, rm in zip(got_fmap, ref_fmap):
+        np.testing.assert_allclose(
+            np.asarray(gm), rm.permute(0, 2, 3, 1).numpy(), rtol=2e-3, atol=2e-3
+        )
+
+
 class _TorchSpectrogram(torch.nn.Module):
     """Minimal torchaudio.transforms.Spectrogram(power=None) equivalent."""
 

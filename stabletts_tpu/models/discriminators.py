@@ -20,6 +20,47 @@ def _leaky(x):
     return jax.nn.leaky_relu(x, 0.1)
 
 
+def fold_weightnorm(params):
+    """Differentiably fold flax nn.WeightNorm params into plain conv kernels.
+
+    Input: a param tree where some levels contain `WeightNorm_*` siblings
+    holding `<conv>/kernel/scale` entries (the tree created by
+    `nn.WeightNorm(nn.Conv(...))`). Output: the same tree with each kernel
+    replaced by `v * rsqrt(sum(v^2, all-but-last) + 1e-12) * scale` (flax's
+    exact formula) and the WeightNorm entries removed — i.e. params for the
+    same modules built with `use_weight_norm=False`.
+
+    Why: the GAN step applies each discriminator 4x per step (D-step and
+    G-step, real and fake); under nn.WeightNorm every application re-reads
+    and re-normalizes every kernel — for MPD's [5,1,1024,1024] kernels that
+    is ~21 MB of reads per application, and for MRD's 78 tiny convs it is
+    dozens of ~65 us micro-reduces (profiled at ~10% of the step). Folding
+    once per loss evaluation keeps gradients exact (autodiff flows through
+    the fold) and feeds all applications the same folded kernels.
+    """
+    if not isinstance(params, dict):
+        return params
+    wn_keys = [k for k in params if k.startswith("WeightNorm_")]
+    out = {}
+    for k, v in params.items():
+        if k in wn_keys:
+            continue
+        out[k] = fold_weightnorm(v) if isinstance(v, dict) else v
+    for wk in wn_keys:
+        for path, scale in params[wk].items():
+            conv_name, param_name, _ = path.rsplit("/", 2)
+            v = out[conv_name][param_name]
+            axes = tuple(range(v.ndim - 1))
+            norm = jax.lax.rsqrt(jnp.sum(v * v, axis=axes, keepdims=True) + 1e-12)
+            out[conv_name] = dict(out[conv_name])
+            out[conv_name][param_name] = v * norm * scale
+    return out
+
+
+def _maybe_wn(conv: nn.Conv, use_weight_norm: bool):
+    return nn.WeightNorm(conv) if use_weight_norm else conv
+
+
 class DiscriminatorP(nn.Module):
     """Period discriminator: 2D convs over period-folded audio
     (reference: discriminator.py:32-75)."""
@@ -27,6 +68,7 @@ class DiscriminatorP(nn.Module):
     period: int
     kernel_size: int = 5
     stride: int = 3
+    use_weight_norm: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
@@ -41,20 +83,22 @@ class DiscriminatorP(nn.Module):
         channels = (32, 128, 512, 1024, 1024)
         for i, ch in enumerate(channels):
             stride = (self.stride, 1) if i < 4 else (1, 1)
-            conv = nn.WeightNorm(
+            conv = _maybe_wn(
                 nn.Conv(
                     ch,
                     (self.kernel_size, 1),
                     strides=stride,
                     padding=((self.kernel_size // 2, self.kernel_size // 2), (0, 0)),
                     name=f"convs_{i}",
-                )
+                ),
+                self.use_weight_norm,
             )
             h = _leaky(conv(h))
             if i > 0:
                 fmap.append(h)
-        h = nn.WeightNorm(
-            nn.Conv(1, (3, 1), padding=((1, 1), (0, 0)), name="conv_post")
+        h = _maybe_wn(
+            nn.Conv(1, (3, 1), padding=((1, 1), (0, 0)), name="conv_post"),
+            self.use_weight_norm,
         )(h)
         fmap.append(h)
         return h.reshape(b, -1), fmap
@@ -74,12 +118,15 @@ class MultiPeriodDiscriminator(nn.Module):
     (bf16 compute moves it <1%)."""
 
     periods: Sequence[int] = (2, 3, 5, 7, 11)
+    use_weight_norm: bool = True
 
     @nn.compact
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         for i, p in enumerate(self.periods):
-            d = DiscriminatorP(p, name=f"discriminators_{i}")
+            d = DiscriminatorP(
+                p, use_weight_norm=self.use_weight_norm, name=f"discriminators_{i}"
+            )
             r, fr = d(y)
             g, fg = d(y_hat)
             y_d_rs.append(r)
@@ -102,92 +149,49 @@ def stft_real_imag(x: jnp.ndarray, n_fft: int, hop: int, win: int) -> jnp.ndarra
 
 class DiscriminatorR(nn.Module):
     """Resolution discriminator over banded complex spectrograms
-    (reference: discriminator.py:113-170).
-
-    TPU layout: the reference runs 5 independent per-band conv stacks
-    (`band_convs`, discriminator.py:129-138) — 25 tiny 32-channel convs per
-    call. Here the 5 bands are packed into channel *groups* of one conv per
-    layer (`feature_group_count=5`): frequency is padded to the widest band
-    (1025 -> 5x257, a 1.25x pad), channels become 5x32=160 (>= the 128 MXU
-    lanes), and the op count drops 5x. Numerics are preserved exactly:
-
-      * per-band 'same' zero-padding == masking the packed tensor's invalid
-        frequency columns after every layer (a conv output column near a
-        band's right edge then reads the identical zeros);
-      * flax WeightNorm normalizes each output channel over [kh, kw, in/groups]
-        — for a grouped kernel that is exactly the per-band per-channel norm;
-      * fmaps / band outputs are sliced back out in the reference's band-major
-        order, so losses and parity are unchanged.
-    """
+    (reference: discriminator.py:113-170)."""
 
     window_length: int
     channels: int = 32
     hop_factor: float = 0.25
+    use_weight_norm: bool = True
     bands: Sequence[Tuple[float, float]] = (
         (0.0, 0.1), (0.1, 0.25), (0.25, 0.5), (0.5, 0.75), (0.75, 1.0),
     )
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
-        import numpy as np
-
         n_freqs = self.window_length // 2 + 1
         hop = int(self.window_length * self.hop_factor)
         spec = stft_real_imag(x, self.window_length, hop, self.window_length)
         # [B, T, F, 2]; band-split along frequency
         band_idx = [(int(lo * n_freqs), int(hi * n_freqs)) for lo, hi in self.bands]
-        widths = [hi - lo for lo, hi in band_idx]
-        nb, cch = len(band_idx), self.channels
-        wmax = max(widths)
-        # pack: [B, T, wmax, 2*nb], channel groups band-major (re, im) pairs
-        packed = jnp.concatenate(
-            [
-                jnp.pad(spec[:, :, lo:hi, :], ((0, 0), (0, 0), (0, wmax - (hi - lo)), (0, 0)))
-                for lo, hi in band_idx
-            ],
-            axis=-1,
-        )
+        x_bands = [spec[:, :, lo:hi, :] for lo, hi in band_idx]
 
-        # valid band width after each layer (torch conv arithmetic: layers 1-3
-        # stride the frequency axis by 2 with pad 4, k=9)
-        valid = [list(widths)]
-        pw = [wmax]
-        for i in range(1, 5):
-            shrink = 1 <= i <= 3
-            valid.append([(w - 1) // 2 + 1 if shrink else w for w in valid[-1]])
-            pw.append((pw[-1] - 1) // 2 + 1 if shrink else pw[-1])
-
-        def freq_mask(layer: int) -> jnp.ndarray:
-            m = np.zeros((pw[layer], nb), np.float32)
-            for b_, w in enumerate(valid[layer]):
-                m[:w, b_] = 1.0
-            return jnp.asarray(np.repeat(m, cch, axis=1))[None, None]  # [1,1,W,nb*C]
-
-        h = packed
-        layer_outs = []
-        for i in range(5):
-            k = (3, 9) if i < 4 else (3, 3)
-            s = (1, 2) if 0 < i < 4 else (1, 1)
-            conv = nn.WeightNorm(
-                nn.Conv(
-                    cch * nb, k, strides=s,
-                    padding=((k[0] // 2, k[0] // 2), (k[1] // 2, k[1] // 2)),
-                    feature_group_count=nb,
-                    name=f"band_convs_{i}",
-                )
-            )
-            h = _leaky(conv(h)) * freq_mask(i).astype(h.dtype)
-            layer_outs.append(h)
-
-        # unpack in the reference's band-major order (discriminator.py:160-166)
         fmap = []
         outs = []
-        for b_ in range(nb):
-            for i in range(1, 5):
-                fmap.append(layer_outs[i][:, :, : valid[i][b_], b_ * cch : (b_ + 1) * cch])
-            outs.append(layer_outs[4][:, :, : valid[4][b_], b_ * cch : (b_ + 1) * cch])
+        for bi, band in enumerate(x_bands):
+            h = band
+            for i in range(5):
+                k = (3, 9) if i < 4 else (3, 3)
+                s = (1, 2) if 0 < i < 4 else (1, 1)
+                conv = _maybe_wn(
+                    nn.Conv(
+                        self.channels, k, strides=s,
+                        padding=((k[0] // 2, k[0] // 2), (k[1] // 2, k[1] // 2)),
+                        name=f"band_convs_{bi}_{i}",
+                    ),
+                    self.use_weight_norm,
+                )
+                h = _leaky(conv(h))
+                if i > 0:
+                    fmap.append(h)
+            outs.append(h)
         h = jnp.concatenate(outs, axis=2)  # along frequency
-        h = nn.WeightNorm(nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)), name="conv_post"))(h)
+        h = _maybe_wn(
+            nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)), name="conv_post"),
+            self.use_weight_norm,
+        )(h)
         fmap.append(h)
         return h, fmap
 
@@ -197,12 +201,15 @@ class MultiResolutionDiscriminator(nn.Module):
     see MultiPeriodDiscriminator for the measured batching dead end."""
 
     fft_sizes: Sequence[int] = (2048, 1024, 512)
+    use_weight_norm: bool = True
 
     @nn.compact
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         for i, w in enumerate(self.fft_sizes):
-            d = DiscriminatorR(w, name=f"discriminators_{i}")
+            d = DiscriminatorR(
+                w, use_weight_norm=self.use_weight_norm, name=f"discriminators_{i}"
+            )
             r, fr = d(y)
             g, fg = d(y_hat)
             y_d_rs.append(r)

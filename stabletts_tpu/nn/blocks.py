@@ -184,11 +184,28 @@ class MultiHeadAttention(nn.Module):
         k = qk[b:].reshape(b, t, self.n_heads, head_dim)
 
         if deterministic:
-            # inference: the fast fused kernel (no VJP — must not be reached
-            # by a training/backward trace, so the gate is `deterministic`,
-            # NOT `p_dropout == 0`: training with p_dropout=0.0 still needs
-            # a differentiable path)
-            out = masked_attention(q, k, v, mask=mask)
+            if (
+                os.environ.get("STABLETTS_ATTN_LAYOUT") == "tminor"
+                and _on_tpu()
+                and t % 8 == 0
+            ):
+                # T-minor kernel variant: consumes/produces logical [B, C, T]
+                # buffers == the FFN convs' preferred T-minor layout, so XLA
+                # can elide the layout conversions at the custom-call
+                # boundary (ops/attention_pallas_t.py)
+                from stabletts_tpu.ops.attention_pallas_t import fused_attention_packed_t
+
+                qT = jnp.swapaxes(q.reshape(b, t, self.channels), 1, 2)
+                kT = jnp.swapaxes(k.reshape(b, t, self.channels), 1, 2)
+                vT = jnp.swapaxes(v.reshape(b, t, self.channels), 1, 2)
+                outT = fused_attention_packed_t(qT, kT, vT, mask, n_heads=self.n_heads)
+                out = jnp.swapaxes(outT, 1, 2).reshape(b, t, self.n_heads, head_dim)
+            else:
+                # inference: the fast fused kernel (no VJP — must not be
+                # reached by a training/backward trace, so the gate is
+                # `deterministic`, NOT `p_dropout == 0`: training with
+                # p_dropout=0.0 still needs a differentiable path)
+                out = masked_attention(q, k, v, mask=mask)
         else:
             from stabletts_tpu.ops.attention import resolve_impl
 

@@ -21,7 +21,11 @@ import numpy as np
 import optax
 
 from stabletts_tpu.config import MelConfig, VocosConfig, VocosTrainConfig
-from stabletts_tpu.models.discriminators import MultiPeriodDiscriminator, MultiResolutionDiscriminator
+from stabletts_tpu.models.discriminators import (
+    MultiPeriodDiscriminator,
+    MultiResolutionDiscriminator,
+    fold_weightnorm,
+)
 from stabletts_tpu.models.gan_losses import (
     discriminator_loss,
     feature_loss,
@@ -102,6 +106,11 @@ def make_vocos_train_step(
     STFT stack, loss reductions, grads, and the optimizer stay f32. The
     reference trains pure fp32 (no AMP anywhere), so f32 is the default."""
     ms_cfgs = multi_scale_mel_configs(mel_cfg)
+    # plain-conv twins of the discriminators: the step folds weight-norm into
+    # the kernels ONCE per loss evaluation (see fold_weightnorm) instead of
+    # letting nn.WeightNorm re-normalize every kernel in all 4 applications
+    mpd_p = mpd.clone(use_weight_norm=False)
+    mrd_p = mrd.clone(use_weight_norm=False)
 
     def _cast(tree):
         if compute_dtype is None:
@@ -125,9 +134,10 @@ def make_vocos_train_step(
         # ---- discriminator step ----
         def d_loss_fn(pd):
             pdc = _cast(pd)
-            rf, gf, _, _ = mpd.apply({"params": pdc["mpd"]}, audio_c, fake_sg)
+            pdf = {k: fold_weightnorm(v) for k, v in pdc.items()}
+            rf, gf, _, _ = mpd_p.apply({"params": pdf["mpd"]}, audio_c, fake_sg)
             loss_f, _, _ = discriminator_loss(rf, gf)
-            rs, gs, _, _ = mrd.apply({"params": pdc["mrd"]}, audio_c, fake_sg)
+            rs, gs, _, _ = mrd_p.apply({"params": pdf["mrd"]}, audio_c, fake_sg)
             loss_s, _, _ = discriminator_loss(rs, gs)
             return loss_f + loss_s, (loss_f, loss_s)
 
@@ -148,7 +158,10 @@ def make_vocos_train_step(
         pd = optax.apply_updates(pd, upd_d)
 
         # ---- generator step (against the updated discriminators) ----
-        pd_c = _cast(pd)
+        # fold OUTSIDE g_loss_fn: the G step differentiates w.r.t. the fake
+        # audio only, so the folded kernels are constants there (no
+        # weight-norm backward at all in the G step)
+        pd_c = {k: fold_weightnorm(v) for k, v in _cast(pd).items()}
 
         def g_loss_fn(fake_in):
             # mel L1 in f32 regardless of compute dtype (log of a clamp at
@@ -156,10 +169,10 @@ def make_vocos_train_step(
             loss_mel = multi_scale_mel_loss(
                 audio, fake_in.astype(jnp.float32), ms_cfgs
             ) * mel_loss_coeff
-            rf, gf, fr, fg = mpd.apply({"params": pd_c["mpd"]}, audio_c, fake_in)
+            rf, gf, fr, fg = mpd_p.apply({"params": pd_c["mpd"]}, audio_c, fake_in)
             loss_fm_f = feature_loss(fr, fg)
             loss_gen_f, _ = generator_loss(gf)
-            rs, gs, sr_, sg_ = mrd.apply({"params": pd_c["mrd"]}, audio_c, fake_in)
+            rs, gs, sr_, sg_ = mrd_p.apply({"params": pd_c["mrd"]}, audio_c, fake_in)
             loss_fm_s = feature_loss(sr_, sg_)
             loss_gen_s, _ = generator_loss(gs)
             total = loss_gen_s + loss_gen_f + loss_fm_s + loss_fm_f + loss_mel

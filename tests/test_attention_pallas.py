@@ -59,6 +59,33 @@ def test_masked_attention_fused_impl_dispatch():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.parametrize("t", [128, 200])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_tminor_kernel_matches_xla(t, dtype):
+    """fused_attention_packed_t on [B, C, T] operands == the XLA oracle on
+    the same logical [B, T, C] values (ops/attention_pallas_t.py)."""
+    from stabletts_tpu.ops.attention_pallas_t import fused_attention_packed_t
+
+    b, h, d = 3, 4, 64
+    q = _rand((b, t, h, d), 0, dtype)
+    k = _rand((b, t, h, d), 1, dtype)
+    v = _rand((b, t, h, d), 2, dtype)
+    lengths = np.array([t, max(1, t // 2), max(1, t - 7)])
+    mask = (jnp.arange(t)[None] < jnp.asarray(lengths)[:, None]).astype(jnp.float32)
+
+    ref = masked_attention(q, k, v, mask=mask, impl="xla").astype(jnp.float32)
+    qT = jnp.swapaxes(q.reshape(b, t, h * d), 1, 2)
+    kT = jnp.swapaxes(k.reshape(b, t, h * d), 1, 2)
+    vT = jnp.swapaxes(v.reshape(b, t, h * d), 1, 2)
+    outT = fused_attention_packed_t(qT, kT, vT, mask, n_heads=h, blk_q=128,
+                                    interpret=True)
+    out = jnp.swapaxes(outT, 1, 2).reshape(b, t, h, d).astype(jnp.float32)
+
+    valid = np.asarray(mask)[:, :, None, None]
+    tol = 2e-2 if dtype == jnp.bfloat16 else 1e-5
+    np.testing.assert_allclose(np.asarray(out) * valid, np.asarray(ref) * valid, atol=tol)
+
+
 def test_rope_matmul_formulation_bit_exact():
     # the packed signed-permutation RoPE must equal apply_rope EXACTLY in
     # every dtype (each output column of P is +/- one input column)

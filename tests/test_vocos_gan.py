@@ -93,33 +93,29 @@ def test_discriminator_p_parity():
         )
 
 
-def _convert_disc_r(sd, n_bands=5, channels=32):
-    """torch DiscriminatorR per-band state dict -> packed grouped-conv flax
-    params (bands concatenated along output channels, band-major)."""
+def _convert_disc_r(sd, n_bands=5):
+    """torch DiscriminatorR per-band state dict -> flax params
+    (weight-norm split, one conv stack per band)."""
     out = {}
-    for i in range(5):
-        ks, vs, bs = [], [], []
-        for b in range(n_bands):
+    for b in range(n_bands):
+        for i in range(5):
             p = f"band_convs.{b}.{i}."
             g = sd[p + "parametrizations.weight.original0"].numpy()
             v = sd[p + "parametrizations.weight.original1"].numpy()
-            ks.append(g.reshape(-1))
-            vs.append(v.transpose(2, 3, 1, 0))  # [kh, kw, in, 32]
-            bs.append(sd[p + "bias"].numpy())
-        out[f"band_convs_{i}"] = {
-            "kernel": np.concatenate(vs, axis=-1),
-            "bias": np.concatenate(bs),
-        }
-        out[f"WeightNorm_{i}"] = {
-            f"band_convs_{i}/kernel/scale": np.concatenate(ks)
-        }
+            out[f"band_convs_{b}_{i}"] = {
+                "kernel": v.transpose(2, 3, 1, 0),  # [kh, kw, in, 32]
+                "bias": sd[p + "bias"].numpy(),
+            }
+            out[f"WeightNorm_{b * 5 + i}"] = {
+                f"band_convs_{b}_{i}/kernel/scale": g.reshape(-1)
+            }
     g = sd["conv_post.parametrizations.weight.original0"].numpy()
     v = sd["conv_post.parametrizations.weight.original1"].numpy()
     out["conv_post"] = {
         "kernel": v.transpose(2, 3, 1, 0),
         "bias": sd["conv_post.bias"].numpy(),
     }
-    out["WeightNorm_5"] = {"conv_post/kernel/scale": g.reshape(-1)}
+    out[f"WeightNorm_{n_bands * 5}"] = {"conv_post/kernel/scale": g.reshape(-1)}
     return out
 
 
@@ -172,6 +168,26 @@ def test_discriminator_r_parity(window_length):
         np.testing.assert_allclose(
             np.asarray(gm), rm.permute(0, 2, 3, 1).numpy(), rtol=2e-3, atol=2e-3
         )
+
+
+def test_fold_weightnorm_matches_wn_apply():
+    """Folded plain-conv apply == nn.WeightNorm apply, outputs and fmaps."""
+    from stabletts_tpu.models.discriminators import fold_weightnorm
+
+    d = DiscriminatorP(period=3)
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32))
+    params = d.init(jax.random.PRNGKey(1), audio)["params"]
+    # perturb scales away from init-ones so the fold actually matters
+    params = jax.tree_util.tree_map(
+        lambda x: x + 0.1 * np.float32(1.0) if x.ndim == 1 else x, params
+    )
+    ref_out, ref_fmap = d.apply({"params": params}, audio)
+    d_plain = DiscriminatorP(period=3, use_weight_norm=False)
+    got_out, got_fmap = d_plain.apply({"params": fold_weightnorm(params)}, audio)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out), rtol=1e-5, atol=1e-5)
+    for gm, rm in zip(got_fmap, ref_fmap):
+        np.testing.assert_allclose(np.asarray(gm), np.asarray(rm), rtol=1e-5, atol=1e-5)
 
 
 class _TorchSpectrogram(torch.nn.Module):

@@ -36,6 +36,8 @@ def main():
                     help="skip the on-chip Pallas kernel selftest gate")
     ap.add_argument("--skip-cfg3", action="store_true",
                     help="skip the CFG=3 operating-point measurement")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of 2 steady-state iterations")
     args = ap.parse_args()
 
     import jax
@@ -125,6 +127,11 @@ def main():
         sync(pipeline())
         compile_s = time.time() - t0
         sync(pipeline())
+
+        if args.profile:
+            with jax.profiler.trace(args.profile):
+                for _ in range(2):
+                    sync(pipeline())
 
         # amortized steady-state: queue all iterations, sync once
         t0 = time.time()

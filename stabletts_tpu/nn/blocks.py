@@ -173,15 +173,16 @@ class MultiHeadAttention(nn.Module):
         k = x @ wk + bk
         v = (x @ wv + bv).reshape(b, t, self.n_heads, head_dim)
 
-        # packed-layout RoPE: one signed-permutation matmul for neg_half on
-        # the [2B, T, C] q/k stack (bit-identical to apply_rope — see
-        # _rope_neg_half_matrix)
+        # packed-layout RoPE: signed-permutation matmuls for neg_half
+        # (bit-identical to apply_rope — see _rope_neg_half_matrix).
+        # q and k are rotated SEPARATELY: stacking them into one [2B, T, C]
+        # matmul (the round-1 formulation) cost ~8 ms/iteration in
+        # concat/split/pad data movement at [64, 1024, 256] — more than the
+        # tiny [.,256]x[256,256] matmul it saved (profiled round 3).
         cosv, sinv = _rope_packed_cache(t, self.n_heads, head_dim, rotary_dim, q.dtype)
         perm = _rope_neg_half_matrix(self.n_heads, head_dim, rotary_dim).astype(q.dtype)
-        qk = jnp.concatenate([q, k], axis=0)
-        qk = qk * cosv[None] + (qk @ perm) * sinv[None]
-        q = qk[:b].reshape(b, t, self.n_heads, head_dim)
-        k = qk[b:].reshape(b, t, self.n_heads, head_dim)
+        q = (q * cosv[None] + (q @ perm) * sinv[None]).reshape(b, t, self.n_heads, head_dim)
+        k = (k * cosv[None] + (k @ perm) * sinv[None]).reshape(b, t, self.n_heads, head_dim)
 
         if deterministic:
             if (

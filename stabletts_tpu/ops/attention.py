@@ -129,7 +129,8 @@ def masked_attention(
     if resolved == "fused" and bias is None and q.shape[1] == k.shape[1]:
         from stabletts_tpu.ops.attention_pallas import fused_attention
 
-        return fused_attention(q, k, v, mask)
+        blk = int(os.environ.get("STABLETTS_ATTN_BLK", "512"))
+        return fused_attention(q, k, v, mask, blk_q=blk)
     if resolved == "flash" and bias is None and q.shape[1] == k.shape[1]:
         return _flash_attention(q, k, v, mask)
     if bias is None and mask is not None:

@@ -6,6 +6,7 @@ audio-seconds/s/chip of training throughput.
 """
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -87,6 +88,14 @@ def main():
         f"train step: {wall*1000:.1f} ms at B={b} Ty={ty} Tx={tx} "
         f"-> {audio_s/wall:.1f} audio-s/s/chip (loss {loss:.3f})"
     )
+    print(json.dumps({
+        "metric": "tts_train_audio_s_per_s_per_chip",
+        "value": round(audio_s / wall, 2),
+        "unit": "audio-s/s/chip",
+        "detail": {"ms_per_step": round(wall * 1e3, 1), "batch": b, "ty": ty,
+                   "tx": tx, "dtype": args.dtype, "remat": args.remat,
+                   "platform": jax.devices()[0].platform},
+    }))
 
     if args.from_disk:
         # Real-data path: .npy mels on disk -> bucket sampler -> threaded

@@ -4,6 +4,7 @@ segment_size=20480 samples, MPD(2,3,5,7,11) + MRD(2048,1024,512) both stepped
 before the generator. Reports audio-seconds/s/chip of vocoder training."""
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -72,6 +73,14 @@ def main():
         f"vocos GAN step: {wall*1e3:.1f} ms at B={b} seg={seg} "
         f"-> {audio_seconds/wall:.1f} audio-s/s/chip"
     )
+    print(json.dumps({
+        "metric": "vocos_gan_train_audio_s_per_s_per_chip",
+        "value": round(audio_seconds / wall, 2),
+        "unit": "audio-s/s/chip",
+        "detail": {"ms_per_step": round(wall * 1e3, 1), "batch": b,
+                   "segment": seg, "dtype": args.dtype,
+                   "platform": jax.devices()[0].platform},
+    }))
 
 
 if __name__ == "__main__":

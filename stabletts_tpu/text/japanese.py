@@ -121,11 +121,15 @@ _PARTICLE_READING = {"は": "わ", "へ": "え"}
 
 _DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 _word_dict: Optional[Dict[str, Tuple[str, int]]] = None
-_kanji_dict: Optional[Dict[str, str]] = None
+# kanji -> (isolated_reading, compound_reading). compound_reading is the
+# on reading used inside multi-kanji Sino compounds; it falls back to the
+# isolated reading when the table has no third column (on == kun, or the
+# kanji is kun-only even in compounds: 畑, 峠, 箱 ...).
+_kanji_dict: Optional[Dict[str, Tuple[str, str]]] = None
 _max_word_len = 1
 
 
-def _load_dicts() -> Tuple[Dict[str, Tuple[str, int]], Dict[str, str]]:
+def _load_dicts() -> Tuple[Dict[str, Tuple[str, int]], Dict[str, Tuple[str, str]]]:
     global _word_dict, _kanji_dict, _max_word_len
     if _word_dict is None:
         words: Dict[str, Tuple[str, int]] = {}
@@ -137,14 +141,16 @@ def _load_dicts() -> Tuple[Dict[str, Tuple[str, int]], Dict[str, str]]:
                     if len(parts) >= 2 and parts[0]:
                         accent = int(parts[2]) if len(parts) > 2 and parts[2] else 0
                         words.setdefault(parts[0], (parts[1], accent))
-        kanji: Dict[str, str] = {}
+        kanji: Dict[str, Tuple[str, str]] = {}
         path = os.path.join(_DATA_DIR, "ja_kanji.tsv")
         if os.path.exists(path):
             with open(path, encoding="utf-8") as f:
                 for line in f:
                     parts = line.rstrip("\n").split("\t")
                     if len(parts) >= 2 and parts[0]:
-                        kanji.setdefault(parts[0], parts[1])
+                        iso = parts[1]
+                        comp = parts[2] if len(parts) > 2 and parts[2] else iso
+                        kanji.setdefault(parts[0], (iso, comp))
         _word_dict = words
         _kanji_dict = kanji
         _max_word_len = max((len(w) for w in words), default=1)
@@ -196,6 +202,72 @@ def kana_to_moras(kana: str) -> List[str]:
 _VOICELESS_ONSETS = ("k", "s", "t", "p", "h", "f", "ch", "sh", "ts",
                      "ky", "hy", "py", "sha", "shu", "sho", "cha", "chu", "cho")
 
+# --- Sino-compound sandhi (kana level) --------------------------------------
+_K_ROW = set("かきくけこ")
+_S_ROW = set("さしすせそ")
+_T_ROW = set("たちつてと")
+_H2P = {"は": "ぱ", "ひ": "ぴ", "ふ": "ぷ", "へ": "ぺ", "ほ": "ぽ"}
+
+
+def _join_on_readings(readings: List[str]) -> List[str]:
+    """Join per-element kana readings of a Sino compound applying the regular
+    sandhi rules (the reference gets these readings whole from Open JTalk's
+    dictionary, /root/reference/text/japanese.py:84):
+
+    - sokuon gemination: element-final つ/ち before k/s/t/h -> っ
+      (いち+ぱん patterns: 出発 しゅつ+はつ -> しゅっぱつ, 一致 いっち),
+      element-final く/き before k -> っ (学校 がく+こう -> がっこう)
+    - h-row onset hardens to p after っ and ん (発表 はっぴょう,
+      心配 しんぱい, 文法 ぶんぽう)
+
+    Lexical rendaku (敗北 はいぼく, 研究所 けんきゅうじょ) is out of scope
+    here — such words belong in ja_words.tsv.
+    """
+    out: List[str] = []
+    for r in readings:
+        if out and r:
+            prev = out[-1]
+            first = r[0]
+            if prev and prev[-1] in "つち" and (
+                first in _K_ROW or first in _S_ROW or first in _T_ROW
+                or first in _H2P
+            ):
+                out[-1] = prev[:-1] + "っ"
+                if first in _H2P:
+                    r = _H2P[first] + r[1:]
+            elif prev and prev[-1] in "くき" and first in _K_ROW:
+                out[-1] = prev[:-1] + "っ"
+            elif prev and prev[-1] == "ん" and first in _H2P:
+                r = _H2P[first] + r[1:]
+        out.append(r)
+    return out
+
+
+# suffix kanji that pull the accent nucleus onto the last mora of the stem
+# (競争力 きょうそう↓りょく, 研究者 けんきゅう↓しゃ)
+_PREACCENT_SUFFIX = {"力", "者"}
+# 2-mora suffixes that still take the nucleus on their own first mora
+# (言語学 げんご↓がく)
+_SELFACCENT_SUFFIX = {"学"}
+
+
+def _compound_accent(elem_moras: List[int], last_surface: str) -> int:
+    """Accent type for a multi-element compound noun (the standard compound
+    rule): nucleus on the first mora of the final element when it is 3+
+    moras, flat (type 0) for 1-2-mora finals, with two exception lists —
+    pre-accenting suffixes (力, 者: nucleus on the stem's last mora) and
+    self-accenting 2-mora suffixes (学)."""
+    if len(elem_moras) < 2:
+        return 0
+    total = sum(elem_moras)
+    final = elem_moras[-1]
+    last_ch = last_surface[-1] if last_surface else ""
+    if last_ch in _PREACCENT_SUFFIX:
+        return total - final
+    if final >= 3 or last_ch in _SELFACCENT_SUFFIX:
+        return total - final + 1
+    return 0
+
 
 def _onset_voiceless(mora: str) -> bool:
     return mora[0] in "kstphf" or mora.startswith(("ch", "sh", "ts"))
@@ -224,9 +296,18 @@ def _segment(sentence: str) -> List[Tuple[List[str], int]]:
     """Japanese span -> accent phrases [(moras, accent_type)].
 
     Greedy longest-match over the word dictionary; particles attach to the
-    preceding phrase; unmatched kana become their own phrase (accent 0);
-    unmatched kanji fall back to the single-character table or are skipped
-    with a warning."""
+    preceding phrase; unmatched kana become their own phrase (accent 0).
+
+    Kanji not covered by the word dictionary are resolved by the per-kanji
+    fallback table with on/kun selection: a maximal run of consecutive
+    kanji (plus any all-kanji dictionary words it abuts) is read as ONE
+    Sino compound — per-kanji *compound* (on) readings, regular sokuon /
+    h->p sandhi (_join_on_readings), one accent phrase with the compound
+    accent rule (_compound_accent). An isolated single kanji keeps its
+    isolated (kun) reading. A single unmatched kanji directly after an
+    all-kanji word attaches to it as a suffix (研究 + 所). The reference
+    gets all of this from Open JTalk's morphological dictionary
+    (/root/reference/text/japanese.py:84)."""
     words, kanji = _load_dicts()
     phrases: List[Tuple[List[str], int]] = []
     skipped: List[str] = []
@@ -235,12 +316,16 @@ def _segment(sentence: str) -> List[Tuple[List[str], int]]:
     current: List[str] = []  # moras of the phrase being built
     current_accent = 0
     has_head = False  # current phrase has a content word
+    # (surface, kana_reading) elements while the phrase is still a pure
+    # Sino-compound chain and can take suffix kanji; None otherwise
+    comp_elems: Optional[List[Tuple[str, str]]] = None
 
     def flush():
-        nonlocal current, current_accent, has_head
+        nonlocal current, current_accent, has_head, comp_elems
         if current:
             phrases.append((current, current_accent))
         current, current_accent, has_head = [], 0, False
+        comp_elems = None
 
     def match_word(pos: int, allow_kana: bool) -> Optional[str]:
         """Longest dictionary word at pos. Kana-only words match only at a
@@ -252,6 +337,25 @@ def _segment(sentence: str) -> List[Tuple[List[str], int]]:
             if cand in words and (allow_kana or any(_is_kanji(c) for c in cand)):
                 return cand
         return None
+
+    def set_compound(elements: List[Tuple[str, str]]):
+        """Install a Sino-compound phrase from (surface, reading) elements.
+        Single-kanji elements are re-read with their *compound* (on) reading
+        — a stem that entered as an isolated word (体 -> からだ) must flip
+        to its on reading once a compound forms (体力 -> たいりょく)."""
+        nonlocal current, current_accent, has_head, comp_elems
+        elements = [
+            (s, kanji[s][1]) if len(s) == 1 and s in kanji else (s, r)
+            for s, r in elements
+        ]
+        readings = _join_on_readings([r for _, r in elements])
+        per_elem = [kana_to_moras(r) for r in readings]
+        current = [m for ms in per_elem for m in ms]
+        current_accent = _compound_accent(
+            [len(ms) for ms in per_elem], elements[-1][0]
+        )
+        has_head = True
+        comp_elems = elements
 
     while i < n:
         # particle attachment: after a content word or an ongoing kana run
@@ -269,21 +373,33 @@ def _segment(sentence: str) -> List[Tuple[List[str], int]]:
                     _PARTICLE_READING.get(c, c) for c in matched_particle
                 )
                 current.extend(kana_to_moras(reading))
+                comp_elems = None
                 i += len(matched_particle)
                 continue
-        # longest dictionary word
+        # longest dictionary word — but a single-kanji word does not win
+        # when a Sino compound is forming around it (an active all-kanji
+        # stem before it, or more kanji after it): 体力 must not split as
+        # からだ+りょく, 研究|所 must not read 所 as ところ
         matched = match_word(i, allow_kana=not current)
+        if matched and len(matched) == 1 and _is_kanji(matched):
+            if (comp_elems and current) or (
+                i + 1 < n and _is_kanji(sentence[i + 1])
+            ):
+                matched = None
         if matched:
             flush()
             reading, accent = words[matched]
             current = kana_to_moras(reading)
             current_accent = accent
             has_head = True
+            if all(_is_kanji(c) for c in matched):
+                comp_elems = [(matched, reading)]
             i += len(matched)
             continue
         ch = sentence[i]
         if _is_kana(ch):
             # raw kana: continue the current phrase (verb endings, okurigana)
+            comp_elems = None
             if ch == _CHOUON or _kata_to_hira(ch) == _CHOUON:
                 # long-vowel mark needs the previous mora's vowel
                 prev = current[-1] if current else ""
@@ -300,17 +416,59 @@ def _segment(sentence: str) -> List[Tuple[List[str], int]]:
                 i += 1
             continue
         if _is_kanji(ch):
-            rd = kanji.get(ch)
-            if rd is None and ch == "々" and i > 0:
-                rd = kanji.get(sentence[i - 1])
-            if rd is None:
-                skipped.append(ch)
-            else:
+            # collect the maximal compound chain: unmatched kanji plus any
+            # all-kanji dictionary words directly abutting them
+            items: List[Tuple[str, str, str]] = []  # (surface, iso, comp)
+            j = i
+            while j < n and _is_kanji(sentence[j]):
+                w = match_word(j, allow_kana=False)
+                if w is not None and len(w) >= 2:
+                    if all(_is_kanji(c) for c in w):
+                        wr = words[w][0]
+                        items.append((w, wr, wr))
+                        j += len(w)
+                        continue
+                    break  # mixed kanji+kana word: main loop handles it
+                cj = sentence[j]
+                rd = kanji.get(cj)
+                if rd is None and cj in words:
+                    # single-kanji word absent from the kanji table
+                    wr = words[cj][0]
+                    rd = (wr, wr)
+                if rd is None and cj == "々" and j > i:
+                    prev_surf = items[-1][0][-1] if items else ""
+                    rd = kanji.get(prev_surf)
+                if rd is None and cj == "々" and j == i and i > 0:
+                    rd = kanji.get(sentence[i - 1])
+                if rd is None:
+                    skipped.append(cj)
+                else:
+                    items.append((cj, rd[0], rd[1]))
+                j += 1
+                # a consumed word ends the chain only if what follows is
+                # not kanji — the loop condition handles that
+            if not items:
+                i = j if j > i else i + 1
+                continue
+            if len(items) == 1 and comp_elems and current:
+                # suffix kanji/word after an all-kanji word: 研究 + 所
+                set_compound(comp_elems + [(items[0][0], items[0][2])])
+            elif len(items) == 1:
+                # isolated kanji: isolated (kun) reading, own phrase
                 flush()
-                current = kana_to_moras(rd)
+                current = kana_to_moras(items[0][1])
                 current_accent = 0
                 has_head = True
-            i += 1
+                comp_elems = [(items[0][0], items[0][1])]
+            else:
+                # multi-element Sino compound: compound (on) readings
+                elements = [(s, c) for s, _, c in items]
+                if comp_elems and current:
+                    elements = comp_elems + elements
+                else:
+                    flush()
+                set_compound(elements)
+            i = j
             continue
         i += 1  # ascii/digits inside a span: handled upstream, skip here
     flush()

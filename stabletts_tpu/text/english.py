@@ -205,7 +205,7 @@ _LTS_RULES = [
     ("cious", "ʃəs"), ("tious", "ʃəs"), ("geous", "ʤəs"), ("cean", "ʃən"),
     ("ture", "ʧər"), ("sure", "ʒər"), ("ight", "aɪt"), ("ough", "oʊ"),
     ("eigh", "eɪ"), ("dge", "ʤ"), ("tch", "ʧ"), ("igh", "aɪ"),
-    ("sch", "sk"), ("che", "ʧ"),
+    ("sch", "sk"), ("che", "ʧ"), ("ign", "aɪn"), ("aire", "ɛr"),
     ("ear", "ɪr"), ("eer", "ɪr"), ("oar", "ɔr"), ("our", "ɔr"),
     ("air", "ɛr"), ("are", "ɛr"), ("ore", "ɔr"), ("ure", "ʊr"),
     ("ai", "eɪ"), ("ay", "eɪ"), ("ee", "i"), ("ea", "i"),
@@ -233,6 +233,7 @@ _VOWELS = "aeiou"
 # never produces; peel them off and recurse on the stem
 _LTS_SUFFIX_PHONES = [
     ("ation", "eɪʃən"), ("ition", "ɪʃən"), ("ution", "uʃən"),
+    ("ated", "eɪtəd"), ("ating", "eɪtɪŋ"),
     ("ious", "iəs"), ("eous", "iəs"), ("ous", "əs"),
     ("ment", "mənt"), ("ness", "nəs"), ("ful", "fəl"), ("less", "ləs"),
     ("ism", "ˌɪzəm"), ("able", "əbəl"), ("ible", "əbəl"),
@@ -253,6 +254,18 @@ def _rule_g2p_flat(word: str) -> str:
     # final -le after a consonant is a syllabic l (snickle -> snɪkəl)
     if w.endswith("le") and len(w) > 3 and w[-3] not in "aeiou":
         return _rule_g2p_flat(w[:-2]) + "əl"
+    # Greek-derived ch reads k: before a consonant (chry-, chlo-, -chn-)
+    # and in the common Greek onsets even before a vowel (chem-, chron-,
+    # chrom-, chor-, psych-, techn- is covered by the consonant rule)
+    for onset in ("chem", "chron", "chrom", "chlor"):
+        if w.startswith(onset):
+            w = "k" + w[2:]
+            break
+    w = re.sub(r"ch(?=[^aeiouy])", "k", w)
+    w = w.replace("psych", "saɪk")
+    # French -que reads k (mystique, boutique); initial pt- drops the p
+    w = re.sub(r"que$", "k", w)
+    w = re.sub(r"^pt", "t", w)
     # protect ch/tch digraphs from the hard-c rewrite below
     w = w.replace("tch", "\x02").replace("ch", "\x03")
     # soft c/g before e/i/y
@@ -260,9 +273,16 @@ def _rule_g2p_flat(word: str) -> str:
     w = re.sub(r"g(?=[eiy])", "ʤ", w)
     w = w.replace("c", "k").replace("kk", "k")
     w = w.replace("\x02", "ʧ").replace("\x03", "ʧ")
+    # 'y' is a consonant (j) only word-initially or between vowels;
+    # everywhere else it is a vowel letter: final -y..e takes magic-e
+    # (style -> staɪl), otherwise y -> i spelling so the vowel rules and
+    # the ɪ default below apply (crypt -> krɪpt, never kɹjpt)
+    w = re.sub(r"(?<=[^aeiou\W])y(?=[^aeiou]e$)", "\x04", w)  # magic-e slot
+    w = re.sub(r"(?<=[bdfghkmnprstvzʃʧʤθl])y(?!$)", "i", w)
+    w = w.replace("\x04", "y")
     # magic-e: final silent e lengthens the previous vowel
-    magic = {"a": "eɪ", "i": "aɪ", "o": "oʊ", "u": "ju", "e": "i"}
-    m = re.search(r"([aeiou])([bdfgklmnprstvzʤ])e$", w)
+    magic = {"a": "eɪ", "i": "aɪ", "o": "oʊ", "u": "ju", "e": "i", "y": "aɪ"}
+    m = re.search(r"([aeiouy])([bdfgklmnprstvzʤ])e$", w)
     if m and len(w) > 3:
         w = w[: m.start(1)] + "\x00" + magic[m.group(1)] + "\x01" + m.group(2) + w[m.end(2) + 1 :]
     out = []
@@ -279,6 +299,10 @@ def _rule_g2p_flat(word: str) -> str:
             continue
         for pat, rep in _LTS_RULES:
             if w.startswith(pat, i):
+                # silent-letter digraphs only apply word-initially
+                # (knee/psalm/write/gnome but magnet/capsule keep both)
+                if pat in ("kn", "wr", "gn", "ps") and i > 0:
+                    continue
                 # 'y' at word end or after consonant cluster acts as vowel
                 if pat == "y" and i == len(w) - 1:
                     rep = "aɪ" if len(w) <= 3 else "i"
@@ -288,7 +312,9 @@ def _rule_g2p_flat(word: str) -> str:
         else:
             out.append(w[i])
             i += 1
-    return "".join(out)
+    # suffix recursion can double a consonant at the join (curr+ency) —
+    # English has no phonemic geminates, collapse them
+    return re.sub(r"([bdfgklmnprstvzʤʧʃʒθð])\1", r"\1", "".join(out))
 
 
 # --- stress assignment for LTS output ---------------------------------------
@@ -331,6 +357,8 @@ _STRESS_SUFFIXES = [
     ("itude", 3, True), ("icide", 3, True),
     ("ian", 3, False), ("ic", 2, False), ("ics", 2, False),
     ("ential", 2, False), ("acious", 2, False),
+    ("escent", 2, False), ("escence", 3, False),
+    ("ated", 4, False), ("ating", 4, False),
 ]
 
 
@@ -442,6 +470,16 @@ def ipa_convert(text: str) -> str:
                 pron = _lookup(token.strip("'"))
             if pron is None:
                 pron = token + "*" if star else _rule_g2p(token)
+            else:
+                # morphology can derive a polysyllable from an unmarked
+                # monosyllable base (drive -> driver): eng_to_ipa always
+                # stresses polysyllables, so mark the base syllable
+                if "ˈ" not in pron and "ˌ" not in pron:
+                    phones = _split_phones(pron)
+                    if sum(1 for _, v in phones if v) >= 2:
+                        pron = "".join(
+                            p for p, _ in _insert_stress(phones, 0, "ˈ")
+                        )
             pieces.append(pron)
             pieces.append(" ")
         else:

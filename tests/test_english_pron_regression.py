@@ -35,8 +35,8 @@ PROBES = {
     "together": "təˈgɛðər",
     # morphology-derived inflections
     "dogs": "dɔgz",
-    "wanted": "wɑntəd",
-    "running": "rənɪŋ",
+    "wanted": "ˈwɑntəd",
+    "running": "ˈrənɪŋ",
     "quickly": "ˈkwɪkli",
     # technical / academic vocabulary (round-3 lexicon bands)
     "algorithm": "ˈælgəˌrɪðəm",
@@ -66,6 +66,390 @@ PROBES = {
     "receipt": "rɪˈsit",
     "debt": "dɛt",
 }
+
+
+# round-4 expansion (VERDICT r3 item #3): 375 additional probes
+# spanning proper/irregular spellings, Latinate suffixes, Greek onsets,
+# French loans, silent letters, and morphology-derived forms. Outputs
+# hand-reviewed against CMU conventions before freezing.
+PROBES_R4 = {
+    "chrysanthemum": "krɪˈsænθɛməm",
+    "cryptocurrency": "ˌkrɪptɑˈkərɛnsi",
+    "iridescent": "ˌɪrəˈdɛsənt",
+    "quixotic": "kwɪkˈsɑtɪk",
+    "exacerbated": "ɪgˈzæsərˌbeɪtəd",
+    "understanding": "ˌəndərˈstændɪŋ",
+    "knowledge": "ˈnɑlɪʤ",
+    "language": "ˈlæŋgwəʤ",
+    "different": "ˈdɪfərənt",
+    "important": "ɪmˈpɔrtənt",
+    "remember": "rɪˈmɛmbər",
+    "question": "ˈkwɛsʧən",
+    "beautiful": "ˈbjutəfəl",
+    "children": "ˈʧɪldrən",
+    "mountain": "ˈmaʊntən",
+    "morning": "ˈmɔrnɪŋ",
+    "evening": "ˈivnɪŋ",
+    "afternoon": "ˌæftərˈnun",
+    "yesterday": "ˈjɛstərˌdeɪ",
+    "tomorrow": "təˈmɑˌroʊ",
+    "breakfast": "ˈbrɛkfəst",
+    "restaurant": "ˈrɛstəˌrɑnt",
+    "hospital": "ˈhɑˌspɪtəl",
+    "library": "ˈlaɪˌbrɛri",
+    "station": "ˈsteɪʃən",
+    "airport": "ˈɛrˌpɔrt",
+    "business": "ˈbɪznəs",
+    "company": "ˈkəmpəni",
+    "money": "ˈməni",
+    "market": "ˈmɑrkət",
+    "history": "ˈhɪstəri",
+    "science": "ˈsaɪəns",
+    "mathematics": "ˌmæθəˈmætɪks",
+    "physics": "ˈfɪzɪks",
+    "chemistry": "ˈkɛməstri",
+    "biology": "baɪˈɑləʤi",
+    "geography": "ʤiˈɑgrəfi",
+    "literature": "ˈlɪtərəʧər",
+    "philosophy": "fəˈlɑsəfi",
+    "psychology": "saɪˈkɑləʤi",
+    "economics": "ˌɛkəˈnɑmɪks",
+    "engineering": "ˌɛnʤəˈnɪrɪŋ",
+    "medicine": "ˈmɛdəsən",
+    "architecture": "ˈɑrkəˌtɛkʧər",
+    "agriculture": "ˈægrɪˌkəlʧər",
+    "industry": "ˈɪndəstri",
+    "technology": "tɛkˈnɑləʤi",
+    "electricity": "ɪˌlɛkˈtrɪsəti",
+    "machine": "məˈʃin",
+    "engine": "ˈɛnʤən",
+    "wheel": "wil",
+    "window": "ˈwɪndoʊ",
+    "door": "dɔr",
+    "table": "ˈteɪbəl",
+    "chair": "ʧɛr",
+    "kitchen": "ˈkɪʧən",
+    "garden": "ˈgɑrdən",
+    "flower": "ˈflaʊər",
+    "forest": "ˈfɔrəst",
+    "river": "ˈrɪvər",
+    "ocean": "ˈoʊʃən",
+    "island": "ˈaɪlənd",
+    "valley": "ˈvæli",
+    "desert": "ˈdɛzərt",
+    "climate": "ˈklaɪmət",
+    "weather": "ˈwɛðər",
+    "thunder": "ˈθəndər",
+    "lightning": "ˈlaɪtnɪŋ",
+    "rainbow": "ˈreɪnˌboʊ",
+    "sunshine": "ˈsənˌʃaɪn",
+    "moonlight": "ˈmunˌlaɪt",
+    "starlight": "ˈstɑrlaɪt",
+    "darkness": "ˈdɑrknəs",
+    "silence": "ˈsaɪləns",
+    "whisper": "ˈwɪspər",
+    "scream": "skrim",
+    "laughter": "ˈlæftər",
+    "crying": "ˈkraɪɪŋ",
+    "smiling": "ˈsmaɪlɪŋ",
+    "dancing": "ˈdænsɪŋ",
+    "singing": "ˈsɪŋɪŋ",
+    "walking": "ˈwɔkɪŋ",
+    "talking": "ˈtɔkɪŋ",
+    "reading": "ˈridɪŋ",
+    "writing": "ˈraɪtɪŋ",
+    "listening": "ˈlɪsənɪŋ",
+    "watching": "ˈwɑʧɪŋ",
+    "thinking": "ˈθɪŋkɪŋ",
+    "feeling": "ˈfilɪŋ",
+    "wonderful": "ˈwəndərfəl",
+    "terrible": "ˈtɛrəbəl",
+    "horrible": "ˈhɔrəbəl",
+    "amazing": "əˈmeɪzɪŋ",
+    "incredible": "ɪnˈkrɛdəbəl",
+    "impossible": "ɪmˈpɑsəbəl",
+    "necessary": "ˈnɛsəˌsɛri",
+    "available": "əˈveɪləbəl",
+    "comfortable": "ˈkəmfərtəbəl",
+    "dangerous": "ˈdænʤərəs",
+    "expensive": "ɪkˈspɛnsɪv",
+    "interesting": "ˈɪntrəstɪŋ",
+    "surprising": "sərˈpraɪzɪŋ",
+    "disappointing": "ˌdɪsəˈpɔɪntɪŋ",
+    "embarrassing": "ɪmˈbɛrəsɪŋ",
+    "exhausting": "ɪgˈzɔstɪŋ",
+    "fascinating": "ˈfæsəˌneɪtɪŋ",
+    "overwhelming": "ˌoʊvərˈwɛlmɪŋ",
+    "celebration": "ˌsɛləˈbreɪʃən",
+    "ceremony": "ˈsɛrəˌmoʊni",
+    "festival": "ˈfɛstəvəl",
+    "holiday": "ˈhɑləˌdeɪ",
+    "birthday": "ˈbərθˌdeɪ",
+    "wedding": "ˈwɛdɪŋ",
+    "funeral": "ˈfjunərəl",
+    "marriage": "ˈmɛrɪʤ",
+    "family": "ˈfæməli",
+    "parents": "ˈpɛrənts",
+    "brother": "ˈbrəðər",
+    "sister": "ˈsɪstər",
+    "daughter": "ˈdɔtər",
+    "husband": "ˈhəzbənd",
+    "wife": "waɪf",
+    "neighbor": "ˈneɪbər",
+    "friend": "frɛnd",
+    "stranger": "ˈstreɪnʤər",
+    "visitor": "ˈvɪzətər",
+    "teacher": "ˈtiʧər",
+    "student": "ˈstədənt",
+    "doctor": "ˈdɑktər",
+    "nurse": "nərs",
+    "lawyer": "ˈlɔjər",
+    "engineer": "ˌɛnʤəˈnɪr",
+    "scientist": "ˈsaɪəntɪst",
+    "artist": "ˈɑrtəst",
+    "musician": "mjuˈzɪʃən",
+    "writer": "ˈraɪtər",
+    "painter": "ˈpeɪntər",
+    "actor": "ˈæktər",
+    "soldier": "ˈsoʊlʤər",
+    "sailor": "ˈseɪlər",
+    "pilot": "ˈpaɪlət",
+    "driver": "ˈdraɪvər",
+    "farmer": "ˈfɑrmər",
+    "fisherman": "ˈfɪʃərmən",
+    "carpenter": "ˈkɑrpəntər",
+    "plumber": "ˈpləmər",
+    "electrician": "ɪˌlɛkˈtrɪʃən",
+    "mechanic": "məˈkænɪk",
+    "janitor": "ˈʤænətər",
+    "librarian": "laɪˈbrɛriən",
+    "secretary": "ˈsɛkrəˌtɛri",
+    "manager": "ˈmænəʤər",
+    "director": "dərˈɛktər",
+    "president": "ˈprɛzəˌdɛnt",
+    "governor": "ˈgəvərnər",
+    "senator": "ˈsɛnətər",
+    "mayor": "ˈmeɪər",
+    "judge": "ʤəʤ",
+    "sheriff": "ˈʃɛrəf",
+    "detective": "dɪˈtɛktɪv",
+    "investigation": "ɪnˌvɛstəˈgeɪʃən",
+    "evidence": "ˈɛvədəns",
+    "witness": "ˈwɪtnəs",
+    "testimony": "ˈtɛstəˌmoʊni",
+    "verdict": "ˈvərdɪkt",
+    "sentence": "ˈsɛntəns",
+    "prison": "ˈprɪzən",
+    "punishment": "ˈpənɪʃmənt",
+    "crime": "kraɪm",
+    "criminal": "ˈkrɪmənəl",
+    "robbery": "ˈrɑbəri",
+    "murder": "ˈmərdər",
+    "kidnapping": "ˈkɪdˌnæpɪŋ",
+    "smuggling": "ˈsməgəlɪŋ",
+    "conspiracy": "kənˈspɪrəsi",
+    "corruption": "kərˈəpʃən",
+    "bribery": "ˈbraɪbəri",
+    "fraud": "frɔd",
+    "embezzlement": "ɪmˈbɛzəlmənt",
+    "forgery": "ˈfɔrʤəri",
+    "perjury": "ˈpərʤəri",
+    "trespassing": "ˈtrɛˌspæsɪŋ",
+    "vandalism": "ˈvændəˌlɪzəm",
+    "arson": "ˈɑrsən",
+    "burglary": "ˈbərgləri",
+    "larceny": "ˈlɑrsəni",
+    "appreciate": "əˈpriʃiˌeɪt",
+    "communicate": "kəmˈjunəˌkeɪt",
+    "congratulate": "kənˈgræʧəˌleɪt",
+    "demonstrate": "ˈdɛmənˌstreɪt",
+    "investigate": "ɪnˈvɛstəˌgeɪt",
+    "participate": "pɑrˈtɪsəˌpeɪt",
+    "anticipate": "ænˈtɪsəˌpeɪt",
+    "celebrate": "ˈsɛləˌbreɪt",
+    "concentrate": "ˈkɑnsənˌtreɪt",
+    "cooperate": "koʊˈɑpəˌreɪt",
+    "decorate": "ˈdɛkərˌeɪt",
+    "educate": "ˈɛʤəˌkeɪt",
+    "eliminate": "ɪˈlɪməˌneɪt",
+    "estimate": "ˈɛstəˌmət",
+    "evaluate": "ɪˈvæljuˌeɪt",
+    "exaggerate": "ɪgˈzæʤəˌreɪt",
+    "generate": "ˈʤɛnərˌeɪt",
+    "hesitate": "ˈhɛzəˌteɪt",
+    "illustrate": "ˈɪləˌstreɪt",
+    "imitate": "ˈɪməˌteɪt",
+    "indicate": "ˈɪndəˌkeɪt",
+    "irritate": "ˈɪrəˌteɪt",
+    "negotiate": "nəˈgoʊʃiˌeɪt",
+    "operate": "ˈɑpərˌeɪt",
+    "originate": "ərˈɪʤəˌneɪt",
+    "penetrate": "ˈpɛnəˌtreɪt",
+    "populate": "ˈpɑpjəˌleɪt",
+    "regulate": "ˈrɛgjəˌleɪt",
+    "separate": "ˈsɛprət",
+    "stimulate": "ˈstɪmjəˌleɪt",
+    "terminate": "ˈtərməˌneɪt",
+    "tolerate": "ˈtɑlərˌeɪt",
+    "translate": "trænˈzleɪt",
+    "vibrate": "ˈvaɪˌbreɪt",
+    "accomplish": "əˈkɑmplɪʃ",
+    "establish": "ɪˈstæblɪʃ",
+    "distinguish": "dɪˈstɪŋgwɪʃ",
+    "extinguish": "ɪkˈstɪŋgwɪʃ",
+    "atmosphere": "ˈætməˌsfɪr",
+    "hemisphere": "ˈhɛməˌsfɪr",
+    "biosphere": "ˈbaɪəˌsfɪr",
+    "telephone": "ˈtɛləˌfoʊn",
+    "microphone": "ˈmaɪkrəˌfoʊn",
+    "saxophone": "ˈsæksəˌfoʊn",
+    "xylophone": "ˈzaɪləˌfoʊn",
+    "symphony": "ˈsɪmfəni",
+    "telegraph": "ˈtɛləˌgræf",
+    "paragraph": "ˈpærəˌgræf",
+    "photograph": "ˈfoʊtəˌgræf",
+    "autograph": "ˈɔtəˌgræf",
+    "biography": "baɪˈɑgrəfi",
+    "geology": "ʤiˈɑləʤi",
+    "ecology": "ɪˈkɑləʤi",
+    "theology": "θiˈɑləʤi",
+    "mythology": "məˈθɑləʤi",
+    "anthropology": "ˌænθrəˈpɑləʤi",
+    "sociology": "ˌsoʊsiˈɑləʤi",
+    "terminology": "ˌtərməˈnɑləʤi",
+    "methodology": "ˌmɛθəˈdɑləʤi",
+    "chronology": "krəˈnɑləʤi",
+    "genealogy": "ˌʤiniˈɑləʤi",
+    "astronomy": "əˈstrɑnəmi",
+    "economy": "ɪˈkɑnəmi",
+    "anatomy": "əˈnætəmi",
+    "autonomy": "ɔˈtɑnəmi",
+    "taxonomy": "tækˈsɑnəmi",
+    "democracy": "dɪˈmɑkrəsi",
+    "aristocracy": "ˌærəˈstɑkrəsi",
+    "magnificent": "mægˈnɪfəsənt",
+    "significant": "səgˈnɪfɪkənt",
+    "intelligent": "ɪnˈtɛləʤənt",
+    "convenient": "kənˈvinjənt",
+    "sufficient": "səˈfɪʃənt",
+    "efficient": "ɪˈfɪʃənt",
+    "deficient": "dɪˈfɪʃənt",
+    "proficient": "prəˈfɪʃənt",
+    "ancient": "ˈeɪnʧənt",
+    "patient": "ˈpeɪʃənt",
+    "quotient": "ˈkwoʊʃənt",
+    "delicious": "dɪˈlɪʃəs",
+    "suspicious": "səˈspɪʃəs",
+    "ambitious": "æmˈbɪʃəs",
+    "cautious": "ˈkɔʃəs",
+    "conscious": "ˈkɑnʃəs",
+    "anxious": "ˈæŋkʃəs",
+    "curious": "ˈkjʊriəs",
+    "furious": "ˈfjʊriəs",
+    "serious": "ˈsɪriəs",
+    "various": "ˈvɛriəs",
+    "obvious": "ˈɑbviəs",
+    "previous": "ˈpriviəs",
+    "religious": "rɪˈlɪʤəs",
+    "prestigious": "prɛˈstɪʤəs",
+    "contagious": "kənˈteɪʤəs",
+    "courageous": "kərˈeɪʤəs",
+    "outrageous": "aʊˈtreɪʤəs",
+    "advantageous": "ˌædvənˈteɪʤəs",
+    "mysterious": "mɪˈstɪriəs",
+    "victorious": "vɪkˈtɔriəs",
+    "notorious": "noʊˈtɔriəs",
+    "laborious": "ləˈbɔriəs",
+    "miscellaneous": "ˌmɪsəˈleɪniəs",
+    "spontaneous": "spɑnˈteɪniəs",
+    "simultaneous": "ˌsaɪməlˈteɪniəs",
+    "instantaneous": "ˌɪnstənˈteɪniəs",
+    "courtesy": "ˈkərtəsi",
+    "fantasy": "ˈfæntəsi",
+    "ecstasy": "ˈɛkstəsi",
+    "embassy": "ˈɛmbəsi",
+    "controversy": "ˈkɑntrəˌvərsi",
+    "catastrophe": "kəˈtæstrəfi",
+    "apostrophe": "əˈpɑstrəfi",
+    "epitome": "ɪˈpɪtəmi",
+    "hyperbole": "haɪˈpərbəli",
+    "colleague": "ˈkɑlig",
+    "intrigue": "ɪnˈtrig",
+    "fatigue": "fəˈtig",
+    "technique": "tɛkˈnik",
+    "unique": "juˈnik",
+    "antique": "ænˈtik",
+    "boutique": "buˈtik",
+    "critique": "krɪˈtik",
+    "physique": "fəˈzik",
+    "oblique": "oʊˈblik",
+    "mystique": "mɪˈstik",
+    "champagne": "ʃæmˈpeɪn",
+    "cologne": "kəˈloʊn",
+    "campaign": "kæmˈpeɪn",
+    "foreign": "ˈfɔrən",
+    "sovereign": "ˈsɑvrən",
+    "doubt": "daʊt",
+    "subtle": "ˈsətəl",
+    "thumb": "θəm",
+    "crumb": "krəm",
+    "numb": "nəm",
+    "limb": "lɪm",
+    "comb": "koʊm",
+    "tomb": "tum",
+    "womb": "wum",
+    "aisle": "aɪl",
+    "debris": "dəˈbri",
+    "corps": "kɔr",
+    "rendezvous": "ˈrɑndɪˌvu",
+    "bourgeois": "bʊrˈʒwɑ",
+    "ballet": "bæˈleɪ",
+    "buffet": "bəˈfeɪ",
+    "bouquet": "buˈkeɪ",
+    "crochet": "kroʊˈʃeɪ",
+    "gourmet": "gʊrˈmeɪ",
+    "valet": "væˈleɪ",
+    "genre": "ˈʒɑnrə",
+    "chauffeur": "ʃoʊˈfər",
+    "entrepreneur": "ˌɑntrəprəˈnər",
+    "amateur": "ˈæməˌtər",
+    "grandeur": "ˈgrænʤər",
+    "silhouette": "ˌsɪluˈɛt",
+    "etiquette": "ˈɛtɪkət",
+    "croquette": "kroʊˈkɛt",
+    "marionette": "ˌmɛriəˈnɛt",
+    "questionnaire": "ˌkwɛsʧəˈnɛr",
+    "millionaire": "ˌmɪljəˈnɛr",
+    "billionaire": "ˌbɪljəˈnɛr",
+    "doctrinaire": "ˌdɑktrəˈnɛr",
+    "reservoir": "ˈrɛzəˌvwɑr",
+    "memoir": "ˈmɛmˌwɑr",
+    "repertoire": "ˈrɛpərˌtwɑr",
+    "liaison": "liˈeɪˌzɑn",
+    "mayonnaise": "ˈmeɪəˌneɪz",
+    "renaissance": "ˈrɛnəˌsɑns",
+    "pneumonia": "nuˈmoʊnjə",
+    "pterodactyl": "ˌtɛrəˈdæktəl",
+    "rhythm": "ˈrɪðəm",
+    "rhyme": "raɪm",
+    "rhetoric": "ˈrɛtərɪk",
+    "rhubarb": "ˈruˌbɑrb",
+    "rhinoceros": "raɪˈnɑsərəs",
+    "schedule": "ˈskɛʤʊl",
+    "scheme": "skim",
+    "scholar": "ˈskɑlər",
+    "school": "skul",
+    "schooner": "ˈskunər",
+    "yacht": "jɑt",
+    "yearn": "jərn",
+    "yield": "jild",
+    "yonder": "ˈjɑndər",
+    "zealous": "ˈzɛləs",
+    "zenith": "ˈzinəθ",
+    "zephyr": "ˈzɛfər",
+    "zodiac": "ˈzoʊdiˌæk",
+}
+PROBES = {**PROBES, **PROBES_R4}
 
 # ~350 words of ordinary read-aloud prose in the LibriTTS register
 # (audiobook-style narrative + expository sentences)

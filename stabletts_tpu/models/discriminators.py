@@ -50,6 +50,12 @@ def fold_weightnorm(params):
         for path, scale in params[wk].items():
             conv_name, param_name, _ = path.rsplit("/", 2)
             v = out[conv_name][param_name]
+            # fold assumes flax WeightNorm defaults (eps=1e-12,
+            # feature_axes=-1); fail loudly on structure drift
+            assert scale.ndim == 1 and scale.shape[0] == v.shape[-1], (
+                f"unexpected WeightNorm scale shape {scale.shape} for "
+                f"{conv_name}/{param_name} with kernel {v.shape}"
+            )
             axes = tuple(range(v.ndim - 1))
             norm = jax.lax.rsqrt(jnp.sum(v * v, axis=axes, keepdims=True) + 1e-12)
             out[conv_name] = dict(out[conv_name])

@@ -129,7 +129,15 @@ def masked_attention(
     if resolved == "fused" and bias is None and q.shape[1] == k.shape[1]:
         from stabletts_tpu.ops.attention_pallas import fused_attention
 
-        blk = int(os.environ.get("STABLETTS_ATTN_BLK", "512"))
+        # NOTE: read at TRACE time — changing it after a jitted caller has
+        # compiled has no effect (same caveat as STABLETTS_ATTN_LAYOUT)
+        raw = os.environ.get("STABLETTS_ATTN_BLK", "512")
+        try:
+            blk = int(raw)
+        except ValueError:
+            raise ValueError(
+                f"STABLETTS_ATTN_BLK must be an integer >= 128, got {raw!r}"
+            ) from None
         return fused_attention(q, k, v, mask, blk_q=blk)
     if resolved == "flash" and bias is None and q.shape[1] == k.shape[1]:
         return _flash_attention(q, k, v, mask)

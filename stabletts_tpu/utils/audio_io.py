@@ -1,9 +1,10 @@
 """Host-side audio IO: WAV decode + polyphase resampling.
 
 Replaces torchaudio.load / torchaudio.functional.resample (reference:
-utils/audio.py:59-74) using scipy, which is the available decoder in this
-image. Non-WAV formats raise a clear error (the reference supported them via
-torchaudio's ffmpeg backend, unavailable here).
+utils/audio.py:59-74). WAV decodes via scipy, FLAC via the from-scratch
+decoders (utils/flac_py.py / native/flac.cpp), mp3 and ogg/vorbis via the
+system codec libraries (utils/codecs.py — the same position torchaudio
+takes with ffmpeg, one layer lower). Anything else raises a clear error.
 """
 
 from __future__ import annotations
@@ -24,11 +25,23 @@ def load_audio(path: str) -> tuple[np.ndarray, int]:
 
         with open(path, "rb") as fh:
             return decode_flac(fh.read())
+    if magic == b"OggS":
+        from stabletts_tpu.utils.codecs import decode_ogg
+
+        wav, sr = decode_ogg(path)
+        return wav[:, 0], sr  # mono via first channel, as the WAV path
+    if magic[:3] == b"ID3" or (
+        len(magic) >= 2 and magic[0] == 0xFF and (magic[1] & 0xE0) == 0xE0
+    ):
+        from stabletts_tpu.utils.codecs import decode_mp3
+
+        wav, sr = decode_mp3(path)
+        return wav[:, 0], sr
     if magic != b"RIFF":
         ext = os.path.splitext(path)[1].lower()
         raise ValueError(
-            f"unsupported audio format {ext!r} (WAV and FLAC are decodable "
-            "in this environment; convert others with ffmpeg/sox offline)"
+            f"unsupported audio format {ext!r} (WAV, FLAC, mp3 and ogg are "
+            "decodable in this environment; convert others offline)"
         )
     from scipy.io import wavfile
 

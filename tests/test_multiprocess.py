@@ -1,6 +1,6 @@
 """Multi-process `jax.distributed` integration tests (CPU, Gloo collectives)
-over two topologies of the same 8-device world: 2 hosts x 4 devices and
-4 hosts x 2 devices.
+over three topologies of the same 8-device world: 2 hosts x 4 devices,
+4 hosts x 2 devices, and 8 hosts x 1 device (max host fan-out).
 
 Exercises every process_count>1 branch that single-process tests cannot:
 per-rank `make_array_from_process_local_data` batch assembly
@@ -121,6 +121,9 @@ def _single_process_ground_truth(filelist, num_replicas=2, batch_size=4,
     [
         pytest.param(2, 4, 4, id="2hosts_x_4dev"),
         pytest.param(4, 2, 2, id="4hosts_x_2dev"),
+        # max host fan-out: every device behind its own process/DCN boundary
+        # — the closest CPU-envelope stand-in for multi-host scaling
+        pytest.param(8, 1, 1, id="8hosts_x_1dev"),
     ],
 )
 def test_multi_process_training_matches_single_process(

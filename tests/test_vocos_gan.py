@@ -143,8 +143,10 @@ def _load_ref_discriminator_module():
 @needs_ref
 @pytest.mark.parametrize("window_length", [512, 2048])
 def test_discriminator_r_parity(window_length):
-    """Packed grouped-conv DiscriminatorR == the reference's 5 per-band conv
-    stacks, on output and every fmap (reference discriminator.py:112-170)."""
+    """Per-band conv-stack DiscriminatorR == the reference's 5 per-band conv
+    stacks, on output and every fmap (reference discriminator.py:112-170).
+    (A packed grouped-conv variant was measured 1.8x slower and reverted —
+    see DESIGN.md "MRD grouped-conv fold".)"""
     ref_disc = _load_ref_discriminator_module()
 
     torch.manual_seed(0)

@@ -25,6 +25,8 @@ DEFAULT_RULES = [
 
 
 def main():
+    if len(sys.argv) < 2:
+        sys.exit("usage: xplane_groups.py <capture.xplane.pb> [name=regex ...]")
     path = sys.argv[1]
     rules = [tuple(a.split("=", 1)) for a in sys.argv[2:]] or DEFAULT_RULES
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
@@ -32,7 +34,9 @@ def main():
     xs = xplane_pb2.XSpace()
     with open(path, "rb") as f:
         xs.ParseFromString(f.read())
-    p = next(pl for pl in xs.planes if "TPU" in pl.name)
+    p = next((pl for pl in xs.planes if "TPU" in pl.name), None)
+    if p is None:
+        sys.exit(f"no TPU plane in {path} (planes: {[pl.name for pl in xs.planes]})")
     ev_meta = {m.id: m.name for m in p.event_metadata.values()}
     buckets = collections.Counter()
     counts = collections.Counter()

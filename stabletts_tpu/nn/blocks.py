@@ -354,8 +354,13 @@ class DiTConVBlock(nn.Module):
         # trade flips (e.g. longer T); the packed-head attention kernel
         # (ops/attention_pallas.py, reached via masked_attention below)
         # remains the measured-best default.
+        # DEFAULT ON since round 4: at the bench operating point
+        # [B=64, T=1000] the fused half measures 3519-3582 audio-s/s vs
+        # 3332-3372 for the separate-ops path (repeated runs) — the round-2
+        # "neutral at B=32" verdict flipped at larger batch. Opt out with
+        # STABLETTS_DIT_FUSED=0.
         fuse_halves = (
-            os.environ.get("STABLETTS_DIT_FUSED") == "1"
+            os.environ.get("STABLETTS_DIT_FUSED", "1") == "1"
             and _on_tpu()  # the kernel has no interpret fallback here
             and deterministic
             and x.shape[1] % 8 == 0
@@ -374,12 +379,15 @@ class DiTConVBlock(nn.Module):
                 _modulate(norm1(x), shift_msa, scale_msa), mask, deterministic
             ) * m
 
-        # Measured on v5e at [32, 1024, 256->1024] bf16: the fused FFN kernel
-        # is only ~3% faster than XLA's conv path in isolation (0.90 vs 0.93
-        # ms) and NEUTRAL end-to-end (the XLA convs are already well fused) —
-        # so it stays opt-in rather than default, unlike the attention kernel.
+        # DEFAULT ON since round 4 (opt out with STABLETTS_FFN_IMPL=xla):
+        # alone it measured 3215 audio-s/s (worse than 3363 baseline), but
+        # combined with the fused attention half it is the best measured
+        # configuration — 3556/3583 vs 3477-3565 for attention-half-only
+        # (repeated bench runs at [B=64, T=1000] bf16). With both halves
+        # fused the block never leaves Pallas custom calls, so XLA's
+        # T-minor conv layouts (and their boundary copies) disappear.
         if (
-            os.environ.get("STABLETTS_FFN_IMPL") == "fused"
+            os.environ.get("STABLETTS_FFN_IMPL", "fused") == "fused"
             and _on_tpu()  # the kernel has no interpret fallback here
             and deterministic
             and x.shape[1] % 8 == 0

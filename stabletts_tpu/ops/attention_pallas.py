@@ -139,3 +139,121 @@ def fused_attention(q, k, v, mask=None, blk_q: int = 512, interpret: bool = Fals
         mask, n_heads=h, blk_q=blk_q, interpret=interpret,
     )
     return out.reshape(b, t, h, d)
+
+
+# --- RoPE-fused variant (round 4) -------------------------------------------
+# Applies the packed-layout partial RoPE INSIDE the kernel right after the
+# q/k loads: one fewer HBM round-trip of q and k (the rotated tensors never
+# exist in HBM), and the neg-half signed-permutation matmul runs on the MXU
+# against VMEM-resident tiles. K's rotation is recomputed per q-block (cheap:
+# [T,C]x[C,C] per grid cell vs a saved [B,T,C] HBM write+read). Softmax
+# runs in exp2 units with scale*log2(e) pre-folded into q — one [blk,C]
+# multiply instead of scaling every [blk,T] score tile (v2 micro-opts).
+
+_LOG2E = math.log2(math.e)
+
+
+def _attn_rope_kernel(q_ref, k_ref, v_ref, bias_ref, cosq_ref, sinq_ref,
+                      cosk_ref, sink_ref, perm_ref, o_ref, *, n_heads: int,
+                      head_dim: int):
+    q = q_ref[0]  # [blk_q, H*D], pre-scaled by scale*log2e
+    k = k_ref[0]  # [T_pad, H*D]
+    v = v_ref[0]  # [T_pad, H*D]
+    bias = bias_ref[0]  # [1, T_pad] in log2 units
+    perm = perm_ref[...]  # [H*D, H*D] signed permutation (+ zero pass rows)
+    # in-kernel partial RoPE (exact: x*cos + (x@P)*sin, P a +/-1 permutation)
+    q = q * cosq_ref[0] + jnp.dot(q, perm, preferred_element_type=jnp.float32
+                                  ).astype(q.dtype) * sinq_ref[0]
+    k = k * cosk_ref[0] + jnp.dot(k, perm, preferred_element_type=jnp.float32
+                                  ).astype(k.dtype) * sink_ref[0]
+    for h in range(n_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [blk_q, T_pad], already in log2 units
+        s = s + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        w = jnp.exp2(s - m)
+        denom = jnp.sum(w, axis=-1, keepdims=True)
+        wv = jnp.dot(w.astype(v.dtype), v[:, sl], preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = (wv / denom).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_heads", "rotary_dim", "blk_q", "interpret")
+)
+def fused_attention_packed_rope(q, k, v, mask=None, n_heads: int = 4,
+                                rotary_dim: int = 32, blk_q: int = 512,
+                                interpret: bool = False):
+    """Packed attention with partial RoPE fused into the kernel.
+
+    q/k/v: [B, T, H*D] RAW projections (rope NOT yet applied); mask: [B, T]
+    validity or None. Numerically equals rope-then-fused_attention_packed to
+    bf16 rounding (the permutation matmul is exact).
+    """
+    from stabletts_tpu.nn.blocks import _rope_neg_half_matrix, _rope_packed_cache
+
+    b, t, c = q.shape
+    head_dim = c // n_heads
+    scale = _LOG2E / math.sqrt(head_dim)
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    if blk_q < 128:
+        raise ValueError(f"blk_q must be >= 128 (the lane-tile minimum), got {blk_q}")
+    t128 = -(-t // 128) * 128
+    blk_q = next(cand for cand in (blk_q, 512, 256, 128)
+                 if cand <= blk_q and t128 % cand == 0)
+    t_pad = -(-t // blk_q) * blk_q
+
+    cosv, sinv = _rope_packed_cache(t_pad, n_heads, head_dim, rotary_dim, q.dtype)
+    perm = _rope_neg_half_matrix(n_heads, head_dim, rotary_dim).astype(q.dtype)
+
+    if t_pad != t:
+        pad = ((0, 0), (0, t_pad - t), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    valid = jnp.ones((b, t), jnp.float32) if mask is None else mask.astype(jnp.float32)
+    if t_pad != t:
+        valid = jnp.pad(valid, ((0, 0), (0, t_pad - t)))
+    kbias = jnp.where(valid > 0, 0.0, _NEG).astype(jnp.float32)[:, None, :]
+
+    grid = (b, t_pad // blk_q)
+    out = pl.pallas_call(
+        functools.partial(_attn_rope_kernel, n_heads=n_heads, head_dim=head_dim),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, blk_q, c), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, c), lambda bi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, c), lambda bi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad), lambda bi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # same cos/sin arrays twice: q-block rows and full-T rows
+            pl.BlockSpec((1, blk_q, c), lambda bi, qi: (0, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_q, c), lambda bi, qi: (0, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, c), lambda bi, qi: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, c), lambda bi, qi: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda bi, qi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, blk_q, c), lambda bi, qi: (bi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, c), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n_heads * t_pad * t_pad * head_dim
+            + 4 * b * t_pad * c * c,
+            bytes_accessed=4 * b * t_pad * c * q.dtype.itemsize,
+            transcendentals=b * n_heads * t_pad * t_pad,
+        ),
+        interpret=interpret,
+    )(q, k, v, kbias, cosv[None], sinv[None], cosv[None], sinv[None], perm)
+    return out[:, :t] if t_pad != t else out

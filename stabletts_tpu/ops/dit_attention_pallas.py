@@ -64,14 +64,19 @@ def _kernel(x_ref, mod_ref, mask_ref, bias_ref, cos_ref, sin_ref,
     h = h * (1.0 + scale.astype(jnp.float32)) + shift.astype(jnp.float32)
     h = h.astype(x.dtype)
 
-    q = jnp.dot(h, wq_ref[:], preferred_element_type=jnp.float32) + bq_ref[:][None, :]
+    # attention scale and log2(e) pre-folded into q (one [T, C] multiply
+    # instead of scaling every [T, T] score tile); softmax runs in exp2,
+    # the VPU-native exponential. RoPE is an elementwise rotation, so the
+    # scalar commutes through it.
+    scale_a = math.log2(math.e) / math.sqrt(head_dim)
+    q = (jnp.dot(h, wq_ref[:], preferred_element_type=jnp.float32)
+         + bq_ref[:][None, :]) * scale_a
     k = jnp.dot(h, wk_ref[:], preferred_element_type=jnp.float32) + bk_ref[:][None, :]
     v = (jnp.dot(h, wv_ref[:], preferred_element_type=jnp.float32)
          + bv_ref[:][None, :]).astype(x.dtype)
     q = _rope_packed(q.astype(x.dtype), cos_ref[:], sin_ref[:], rotary_dim // 2, head_dim)
     k = _rope_packed(k.astype(x.dtype), cos_ref[:], sin_ref[:], rotary_dim // 2, head_dim)
 
-    scale_a = 1.0 / math.sqrt(head_dim)
     outs = []
     for hh in range(n_heads):
         sl = slice(hh * head_dim, (hh + 1) * head_dim)
@@ -79,9 +84,10 @@ def _kernel(x_ref, mod_ref, mask_ref, bias_ref, cos_ref, sin_ref,
             q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        s = s * scale_a + bias
+        # s is in log2 units; bias is 0 / -huge so it needs no rescaling
+        s = s + bias
         mx = jnp.max(s, axis=-1, keepdims=True)
-        w = jnp.exp(s - mx)
+        w = jnp.exp2(s - mx)
         denom = jnp.sum(w, axis=-1, keepdims=True)
         wv = jnp.dot(w.astype(v.dtype), v[:, sl], preferred_element_type=jnp.float32)
         outs.append(wv / denom)

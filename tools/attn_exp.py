@@ -24,7 +24,7 @@ _NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
 _LOG2E = math.log2(math.e)
 
 
-def timeit(fn, *args, iters=200, warmup=5):
+def timeit(fn, *args, iters=100, warmup=5):
     for _ in range(warmup):
         out = fn(*args)
     jax.block_until_ready(out)
@@ -117,7 +117,10 @@ def main():
     v = jax.random.normal(kv, (B, T, C), DTYPE)
     mask = jnp.ones((B, T), jnp.float32)
 
+    print("compiling ref...", flush=True)
     ref = jax.jit(lambda q, k, v: v1(q, k, v, mask, n_heads=H))(q, k, v)
+    jax.block_until_ready(ref)
+    print("ref done", flush=True)
 
     def check(got):
         return float(
@@ -134,6 +137,7 @@ def main():
         ("pair blk1024", jax.jit(lambda q, k, v: run_pair(q, k, v, blk_q=1024))),
     ]:
         try:
+            print(f"  compiling {name}...", flush=True)
             got = fn(q, k, v)
             print(f"  {name:14s} {timeit(fn, q, k, v):7.3f} ms  rel_err={check(got):.2e}")
         except Exception as e:

@@ -209,7 +209,9 @@ _T_ROW = set("たちつてと")
 _H2P = {"は": "ぱ", "ひ": "ぴ", "ふ": "ぷ", "へ": "ぺ", "ほ": "ぽ"}
 
 
-def _join_on_readings(readings: List[str]) -> List[str]:
+def _join_on_readings(
+    readings: List[str], surfaces: Optional[List[str]] = None
+) -> List[str]:
     """Join per-element kana readings of a Sino compound applying the regular
     sandhi rules (the reference gets these readings whole from Open JTalk's
     dictionary, /root/reference/text/japanese.py:84):
@@ -222,10 +224,16 @@ def _join_on_readings(readings: List[str]) -> List[str]:
 
     Lexical rendaku (敗北 はいぼく, 研究所 けんきゅうじょ) is out of scope
     here — such words belong in ja_words.tsv.
+
+    Sandhi applies only between single-kanji elements: a multi-kanji word
+    followed by a suffix keeps its boundary (出発 + 点 -> しゅっぱつてん,
+    not しゅっぱってん), while 欠 + 点 -> けってん still geminates.
+    `surfaces` carries each element's surface form for that check.
     """
     out: List[str] = []
-    for r in readings:
-        if out and r:
+    for idx, r in enumerate(readings):
+        left_single = surfaces is None or (idx > 0 and len(surfaces[idx - 1]) == 1)
+        if out and r and left_single:
             prev = out[-1]
             first = r[0]
             if prev and prev[-1] in "つち" and (
@@ -348,7 +356,9 @@ def _segment(sentence: str) -> List[Tuple[List[str], int]]:
             (s, kanji[s][1]) if len(s) == 1 and s in kanji else (s, r)
             for s, r in elements
         ]
-        readings = _join_on_readings([r for _, r in elements])
+        readings = _join_on_readings(
+            [r for _, r in elements], [s for s, _ in elements]
+        )
         per_elem = [kana_to_moras(r) for r in readings]
         current = [m for ms in per_elem for m in ms]
         current_accent = _compound_accent(

@@ -38,6 +38,15 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: every worker compiles the same tiny-model
+    # step; cache hits cut the 3-topology suite time substantially on reruns
+    try:
+        cache_dir = os.path.expanduser("~/.cache/stabletts_jax_cache_cpu")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     jax.distributed.initialize(
         f"localhost:{args.port}", num_processes=args.num_procs, process_id=args.rank
     )

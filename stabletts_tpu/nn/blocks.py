@@ -147,7 +147,8 @@ class MultiHeadAttention(nn.Module):
     p_dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, mask=None, deterministic: bool = True, fused_pre=None):
+    def __call__(self, x, mask=None, deterministic: bool = True, fused_pre=None,
+                 params_only: bool = False):
         from stabletts_tpu.ops.attention import masked_attention
         from stabletts_tpu.ops.mask import attn_bias_from_mask
 
@@ -158,6 +159,12 @@ class MultiHeadAttention(nn.Module):
         wq, bq = _DenseParams(x.shape[-1], self.channels, name="conv_q")()
         wk, bk = _DenseParams(x.shape[-1], self.channels, name="conv_k")()
         wv, bv = _DenseParams(x.shape[-1], self.channels, name="conv_v")()
+
+        if params_only:
+            # whole-block fusion (ops/dit_block_pallas.py): the parent pulls
+            # the weights and runs the kernel itself; identical param tree
+            wo, bo = _DenseParams(self.channels, self.out_channels, name="conv_o")()
+            return (wq, bq, wk, bk, wv, bv, wo, bo)
 
         if fused_pre is not None:
             from stabletts_tpu.ops.dit_attention_pallas import fused_dit_attention
@@ -284,10 +291,13 @@ class FFN(nn.Module):
     p_dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, mask, deterministic: bool = True, fused_mods=None):
+    def __call__(self, x, mask, deterministic: bool = True, fused_mods=None,
+                 params_only: bool = False):
         in_ch = x.shape[-1]
         w1, b1 = _ConvParams((self.kernel_size, in_ch, self.filter_channels), name="conv_1")()
         w2, b2 = _ConvParams((self.kernel_size, self.filter_channels, self.out_channels), name="conv_2")()
+        if params_only:
+            return (w1, b1, w2, b2)
         if fused_mods is not None:
             from stabletts_tpu.ops.ffn_pallas import fused_adaln_ffn
 
@@ -366,6 +376,27 @@ class DiTConVBlock(nn.Module):
             and x.shape[1] % 8 == 0
             and not self.is_initializing()
         )
+        # whole-BLOCK fusion: both halves in one launch — one HBM round
+        # trip of x per block and half the kernel launches in the ODE loop
+        # (ops/dit_block_pallas.py). A/B vs the two-half path (3 interleaved
+        # bench pairs, B=64): 3480/3636/3646 vs 3582/3554/3575 audio-s/s —
+        # slightly ahead on mean, clearly ahead on best, never behind by
+        # more than run-to-run noise. Opt out with STABLETTS_DIT_BLOCK=0.
+        if (
+            fuse_halves
+            and os.environ.get("STABLETTS_DIT_BLOCK", "1") == "1"
+            and self.kernel_size == 3
+        ):
+            from stabletts_tpu.ops.dit_block_pallas import fused_dit_block
+
+            aw = attn(x, mask, deterministic, params_only=True)
+            fw = mlp(x, mask, deterministic, params_only=True)
+            return fused_dit_block(
+                x,
+                (shift_msa[:, 0, :], scale_msa[:, 0, :], gate_msa[:, 0, :],
+                 shift_mlp[:, 0, :], scale_mlp[:, 0, :], gate_mlp[:, 0, :]),
+                mask, *aw, *fw, n_heads=self.num_heads,
+            )
         if fuse_halves:
             # one kernel for the whole attention half: LN + modulate + qkv +
             # RoPE + attention + out-proj + gated residual

@@ -44,6 +44,14 @@ def pair():
     with torch.no_grad():
         ref_tts.fake_speaker.normal_(0, 0.5)
         ref_tts.fake_content.normal_(0, 0.5)
+        # adaLN-Zero zero-inits every DiT block to the IDENTITY
+        # (reference estimator.py:100-101) — randomize the modulation so
+        # the parity comparison actually exercises the block interiors
+        # (attention, RoPE, conv-FFN) instead of identity-vs-identity
+        gen = torch.Generator().manual_seed(7)
+        for name, p in ref_tts.named_parameters():
+            if "adaLN_modulation" in name:
+                p.copy_(torch.randn(p.shape, generator=gen) * 0.1)
 
     params = torch_to_flax_stabletts(torch_state_dict_to_numpy(ref_tts.state_dict()))
     model = build_stabletts()

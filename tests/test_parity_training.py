@@ -37,6 +37,13 @@ def test_training_losses_match_reference():
         n_enc_layers=3, n_dec_layers=6, kernel_size=3, p_dropout=0.1, gin_channels=256,
     )
     ref_tts.eval()  # dropout off on both sides
+    # adaLN-Zero zero-inits every DiT block to the identity — randomize the
+    # modulation so the loss parity exercises the estimator interior
+    with torch.no_grad():
+        gen = torch.Generator().manual_seed(7)
+        for name, p in ref_tts.named_parameters():
+            if "adaLN_modulation" in name:
+                p.copy_(torch.randn(p.shape, generator=gen) * 0.1)
 
     params = torch_to_flax_stabletts(torch_state_dict_to_numpy(ref_tts.state_dict()))
     model = build_stabletts()

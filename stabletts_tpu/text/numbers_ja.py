@@ -174,11 +174,54 @@ def _katakana(s: str) -> str:
     return s.translate(_HIRA_TO_KATA)
 
 
+# kanji numerals followed by a counter read as numbers (朝八時 -> 朝8時 ->
+# あさはちじ; 百年前 -> 100年前 -> ひゃくねんまえ). Converting BEFORE
+# segmentation also breaks the kanji run, so the surrounding kanji keep
+# their native readings instead of being swept into a Sino compound.
+_KANJI_DIGITS = {"〇": 0, "一": 1, "二": 2, "三": 3, "四": 4,
+                 "五": 5, "六": 6, "七": 7, "八": 8, "九": 9}
+_KANJI_UNITS = {"十": 10, "百": 100, "千": 1000}
+_KANJI_NUM_RE = re.compile(
+    r"([〇一二三四五六七八九十百千]+[万億兆]?)"
+    r"(?=[年月日時分秒円人個本匹杯歳才回階冊枚台度番号名件軒頭羽歩泊倍点つ])"
+)
+# lexicalized readings that are NOT digit+counter (十分 じゅうぶん "enough",
+# 一日 いちにち "one day/all day" — the counter table would read ついたち)
+_KANJI_NUM_EXCEPTIONS = {"十分", "一日"}
+
+
+def _parse_kanji_numeral(s: str) -> int:
+    total, section, current = 0, 0, 0
+    for ch in s:
+        if ch in _KANJI_DIGITS:
+            current = current * 10 + _KANJI_DIGITS[ch]
+        elif ch in _KANJI_UNITS:
+            section += (current or 1) * _KANJI_UNITS[ch]
+            current = 0
+        else:  # 万/億/兆
+            total += (section + current or 1) * _MAGNITUDE[ch]
+            section = current = 0
+    return total + section + current
+
+
+def _kanji_numerals_to_arabic(text: str) -> str:
+    def repl(m: re.Match) -> str:
+        end = m.end()
+        if text[m.start():end + 1] in _KANJI_NUM_EXCEPTIONS:
+            return m.group(0)
+        return str(_parse_kanji_numeral(m.group(1)))
+
+    return _KANJI_NUM_RE.sub(repl, text)
+
+
 def verbalize_numbers(text: str) -> str:
     """Replace arabic-numeral (+ optional 万/億/兆 magnitude + counter)
     spans in Japanese text with their KATAKANA readings. Full-width digits
-    are normalized first."""
+    are normalized first; kanji numerals followed by a counter are
+    converted to arabic so the same counter reader (and its sound
+    changes) applies."""
     text = text.translate(_FULLWIDTH)
+    text = _kanji_numerals_to_arabic(text)
 
     def repl(m: re.Match) -> str:
         num, frac, mag, counter = m.groups()

@@ -156,7 +156,8 @@ def _lookup(word: str, depth: int = 0) -> Optional[str]:
     if word.endswith("ly"):
         p = base(word[:-2])
         if p:
-            return p + "li"
+            # formal+ly -> fOrm@li, not a geminate ll
+            return p + ("i" if p.endswith("l") else "li")
     # comparative / superlative / agent
     for suf, tail in (("er", "ər"), ("est", "əst")):
         if word.endswith(suf):
@@ -184,11 +185,15 @@ def _lookup(word: str, depth: int = 0) -> Optional[str]:
             if p:
                 return head + p
     # closed compounds: split into two direct lexicon words (longest first
-    # part wins: "farmhouse" -> farm + house, "seashore" -> sea + shore)
+    # part wins: "farmhouse" -> farm + house, "seashore" -> sea + shore).
+    # Words that are really spelled suffixes may never be the second part
+    # ("drastically" must not read as drastic + ally the noun).
+    _NOT_COMPOUND_TAIL = {"ally", "age", "ate", "ant", "ion", "ism", "able",
+                          "er", "ers", "es", "ed", "en", "al", "ly", "is"}
     if depth <= 1 and len(word) >= 6:
         for i in range(len(word) - 2, 2, -1):
             a, b = word[:i], word[i:]
-            if a in lex and b in lex:
+            if a in lex and b in lex and b not in _NOT_COMPOUND_TAIL:
                 return lex[a] + lex[b]
     return None
 
@@ -234,6 +239,7 @@ _VOWELS = "aeiou"
 _LTS_SUFFIX_PHONES = [
     ("ation", "eɪʃən"), ("ition", "ɪʃən"), ("ution", "uʃən"),
     ("ated", "eɪtəd"), ("ating", "eɪtɪŋ"),
+    ("ically", "ɪkli"), ("ally", "əli"),
     ("ious", "iəs"), ("eous", "iəs"), ("ous", "əs"),
     ("ment", "mənt"), ("ness", "nəs"), ("ful", "fəl"), ("less", "ləs"),
     ("ism", "ˌɪzəm"), ("able", "əbəl"), ("ible", "əbəl"),

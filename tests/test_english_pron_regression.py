@@ -73,8 +73,8 @@ PROBES = {
 # French loans, silent letters, and morphology-derived forms. Outputs
 # hand-reviewed against CMU conventions before freezing.
 PROBES_R4 = {
-    "chrysanthemum": "krɪˈsænθɛməm",
-    "cryptocurrency": "ˌkrɪptɑˈkərɛnsi",
+    "chrysanthemum": "krɪˈsænθəməm",
+    "cryptocurrency": "ˈkrɪptoʊˌkərənsi",
     "iridescent": "ˌɪrəˈdɛsənt",
     "quixotic": "kwɪkˈsɑtɪk",
     "exacerbated": "ɪgˈzæsərˌbeɪtəd",

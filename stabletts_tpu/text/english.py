@@ -135,17 +135,21 @@ def _lookup(word: str, depth: int = 0) -> Optional[str]:
             return _suffix_ed(p)  # carry -> carried: ˈkæri + d
     if word.endswith("ed"):
         stem = word[:-2]
-        p = base(stem) or base(stem + "e")
-        if p is None and len(stem) > 2 and stem[-1] == stem[-2]:
+        # undoubled stem first: "cancelled" must reach cancel before the
+        # compound-splitter can read "cancell" as can+cell
+        p = None
+        if len(stem) > 2 and stem[-1] == stem[-2]:
             p = base(stem[:-1])  # stopped -> stop
+        p = p or base(stem) or base(stem + "e")
         if p:
             return _suffix_ed(p)
     # progressive
     if word.endswith("ing"):
         stem = word[:-3]
-        p = base(stem) or base(stem + "e")
-        if p is None and len(stem) > 2 and stem[-1] == stem[-2]:
+        p = None
+        if len(stem) > 2 and stem[-1] == stem[-2]:
             p = base(stem[:-1])  # running -> run
+        p = p or base(stem) or base(stem + "e")
         if p:
             return p + "ɪŋ"
     # adverbs
@@ -189,12 +193,35 @@ def _lookup(word: str, depth: int = 0) -> Optional[str]:
     # Words that are really spelled suffixes may never be the second part
     # ("drastically" must not read as drastic + ally the noun).
     _NOT_COMPOUND_TAIL = {"ally", "age", "ate", "ant", "ion", "ism", "able",
-                          "er", "ers", "es", "ed", "en", "al", "ly", "is"}
+                          "er", "ers", "es", "ed", "en", "al", "ly", "is",
+                          "le", "la", "de"}
     if depth <= 1 and len(word) >= 6:
         for i in range(len(word) - 2, 2, -1):
             a, b = word[:i], word[i:]
             if a in lex and b in lex and b not in _NOT_COMPOUND_TAIL:
                 return lex[a] + lex[b]
+    # British spellings -> the American lexicon form (colour, centre,
+    # analyse, anaemia, travelled ...). A candidate respelling is used only
+    # if it actually resolves, so near-misses ("hour" -> "hor") fall through
+    # harmlessly; words whose British form is already in the lexicon never
+    # reach this point. eng_to_ipa gets this from CMUdict's own variant
+    # entries (/root/reference/text/english.py:169-175).
+    if depth <= 1 and len(word) >= 5:
+        cands = []
+        if word.endswith(("re", "res")):  # centre(s), fibre(s)
+            n = 3 if word.endswith("res") else 2
+            cands.append(word[: -n] + "er" + word[len(word) - n + 2:])
+        for brit, amer in (("our", "or"), ("ise", "ize"), ("isa", "iza"),
+                           ("yse", "yze"), ("ysi", "yzi"), ("ae", "e"),
+                           ("oe", "e"), ("lled", "led"), ("lling", "ling"),
+                           ("ller", "ler"), ("ogue", "og")):
+            if brit in word:
+                cands.append(word.replace(brit, amer))
+        for cand in cands:
+            if cand != word:
+                p = base(cand)
+                if p:
+                    return p
     return None
 
 

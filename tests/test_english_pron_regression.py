@@ -11,7 +11,7 @@ Three layers of protection for the English frontend:
      wrong, stress-free phones — that regression must stay dead)
 """
 
-from stabletts_tpu.text.english import english_to_ipa, oov_words, _rule_g2p
+from stabletts_tpu.text.english import english_to_ipa, oov_words, _lookup, _rule_g2p
 
 # held-out probe set: word -> expected full-pipeline IPA (eng_to_ipa
 # conventions: AH->ə, ER->ər, stress before the legal onset cluster,
@@ -528,3 +528,33 @@ def test_lts_monosyllables_unstressed():
     for w in ["blip", "snark", "grost", "thwomp"]:
         pron = _rule_g2p(w)
         assert "ˈ" not in pron and "ˌ" not in pron, (w, pron)
+
+
+def test_british_spellings_resolve_to_american_forms():
+    """British orthographic variants must resolve through the respelling
+    fallback in _lookup (colour -> color, centre -> center, analyse ->
+    analyze, anaemia -> anemia, travelled -> traveled), including chained
+    rules (manoeuvre-style oe+re words) and derived forms. eng_to_ipa gets
+    these from CMUdict variant entries (reference text/english.py:169-175)."""
+    pairs = [
+        ("colour", "color"), ("flavour", "flavor"), ("neighbour", "neighbor"),
+        ("honour", "honor"), ("harbour", "harbor"), ("colours", "colors"),
+        ("colourful", "colorful"), ("favourite", "favorite"),
+        ("behaviour", "behavior"), ("centre", "center"), ("centres", "centers"),
+        ("theatre", "theater"), ("litre", "liter"), ("fibre", "fiber"),
+        ("analyse", "analyze"), ("paralyse", "paralyze"),
+        ("organise", "organize"), ("organised", "organized"),
+        ("organisation", "organization"), ("realise", "realize"),
+        ("recognise", "recognize"), ("apologise", "apologize"),
+        ("anaemia", "anemia"), ("foetus", "fetus"),
+        ("paediatric", "pediatric"), ("travelled", "traveled"),
+        ("travelling", "traveling"), ("cancelled", "canceled"),
+        ("catalogue", "catalog"), ("dialogue", "dialog"),
+    ]
+    for brit, amer in pairs:
+        got, want = _lookup(brit), _lookup(amer)
+        assert got is not None, f"{brit!r} did not resolve"
+        assert got == want, f"{brit!r} -> {got!r} != {amer!r} -> {want!r}"
+    # near-misses must not be corrupted by the respell rules
+    for w, expect in [("hour", "ˈaʊər"), ("course", "kɔrs")]:
+        assert _lookup(w) == expect

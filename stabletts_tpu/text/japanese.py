@@ -236,6 +236,11 @@ def _join_on_readings(
         if out and r and left_single:
             prev = out[-1]
             first = r[0]
+            # a single-mora reading never geminates — っ would swallow the
+            # whole element (危機 きき must stay kiki, not Qki)
+            if len(prev) < 2:
+                out.append(r)
+                continue
             if prev and prev[-1] in "つち" and (
                 first in _K_ROW or first in _S_ROW or first in _T_ROW
                 or first in _H2P

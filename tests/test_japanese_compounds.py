@@ -234,3 +234,19 @@ def test_isolated_kanji_keeps_kun_reading():
         assert _strip_accent(got).lower() == _strip_accent(expected).lower(), (
             f"isolated {surface}: {got!r}"
         )
+
+
+def test_single_mora_elements_never_geminate():
+    """A single-mora on-reading must never be swallowed by sokuon
+    gemination: 危機 is きき (kiki), not っき (Qki). Regression for the
+    len-1 element bug in _join_on_readings."""
+    from stabletts_tpu.text.japanese import japanese_to_romaji_with_accent
+
+    for surface, sub in [("危機", "kIki"), ("機会", "kIkai"),
+                         ("期間", "kikaN"), ("帰国", "kIkoku")]:
+        got = japanese_to_romaji_with_accent(surface).replace("↑", "").replace("↓", "")
+        assert "Q" not in got, (surface, got)
+        assert got == sub, (surface, got, sub)
+    # while real gemination still applies
+    got = japanese_to_romaji_with_accent("学校")
+    assert "Qk" in got, got

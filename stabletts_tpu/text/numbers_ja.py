@@ -149,7 +149,7 @@ def _with_counter(num_str: str, counter: str) -> str:
     if n % 10 == 0 and n % 100 != 0 and 10 in table:
         return number_to_kana(n - 10) + table[10]
     last = n % 10
-    if last and last in table:
+    if last and last in table and (counter, last) not in _SUPPLETIVE:
         return number_to_kana(n - last) + table[last]
     return number_to_kana(n) + base
 
@@ -162,6 +162,11 @@ _NUM_COUNTER_RE = re.compile(
 )
 
 _MAGNITUDE = {"万": 10000, "億": 10 ** 8, "兆": 10 ** 12}
+
+# whole-word suppletive counter forms that never combine with a higher
+# decade: 1人 ひとり / 2人 ふたり, but 31人 さんじゅういちにん (NOT
+# さんじゅうひとり). Euphonic variants (4人 よにん, 9時 くじ) still do.
+_SUPPLETIVE = {("人", 1), ("人", 2)}
 
 
 _HIRA_TO_KATA = {i: i + 0x60 for i in range(0x3041, 0x3097)}
@@ -204,11 +209,34 @@ def _parse_kanji_numeral(s: str) -> int:
     return total + section + current
 
 
+_PROTECTED_CACHE = None
+
+
+def _protected_words():
+    """ja_words entries (len >= 3) containing a kanji numeral — idioms like
+    十人十色 / 百発百中 whose numerals are lexical, not counts; the word
+    dictionary must see them intact."""
+    global _PROTECTED_CACHE
+    if _PROTECTED_CACHE is None:
+        from stabletts_tpu.text.japanese import _load_dicts
+
+        digits = set("〇一二三四五六七八九十百千万億兆")
+        words, _ = _load_dicts()
+        _PROTECTED_CACHE = sorted(
+            w for w in words if len(w) >= 3 and any(c in digits for c in w)
+        )
+    return _PROTECTED_CACHE
+
+
 def _kanji_numerals_to_arabic(text: str) -> str:
     def repl(m: re.Match) -> str:
         end = m.end()
         if text[m.start():end + 1] in _KANJI_NUM_EXCEPTIONS:
             return m.group(0)
+        for w in _protected_words():
+            k = text.find(w, max(0, m.start() - len(w) + 1), m.end() + len(w))
+            if k != -1 and k <= m.start() and k + len(w) >= end:
+                return m.group(0)
         return str(_parse_kanji_numeral(m.group(1)))
 
     return _KANJI_NUM_RE.sub(repl, text)

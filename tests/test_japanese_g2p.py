@@ -223,3 +223,29 @@ def test_prose_coverage_no_dropped_kanji():
         warnings.simplefilter("error")
         out = "".join(japanese_to_ipa2(prose))
     assert len(out) > 100
+
+
+def test_suppletive_counter_forms_do_not_combine():
+    """1人 ひとり / 2人 ふたり are whole-word forms: numbers merely ending
+    in 1 or 2 must use いちにん/ににん (31人 さんじゅういちにん, not
+    さんじゅうひとり). Euphonic last-digit variants (4人 よにん) still
+    combine."""
+    from stabletts_tpu.text.numbers_ja import verbalize_numbers as v
+
+    assert v("一人で") == "ヒトリで"
+    assert v("二人は") == "フタリは"
+    assert v("三十一人") == "サンジュウイチニン"
+    assert v("22人") == "ニジュウニニン"
+    assert v("24人") == "ニジュウヨネン" or v("24人") == "ニジュウヨニン"
+
+
+def test_numeral_idioms_protected_from_counter_reading():
+    """Kanji numerals inside dictionary idioms are lexical, not counts:
+    十人十色 must reach the word dictionary intact and read といろ."""
+    from stabletts_tpu.text.japanese import japanese_to_romaji_with_accent as j
+    from stabletts_tpu.text.numbers_ja import verbalize_numbers as v
+
+    assert v("十人十色") == "十人十色"
+    assert v("百発百中") == "百発百中"
+    got = j("十人十色").replace("↑", "").replace("↓", "")
+    assert got == "juuniNtoiro", got

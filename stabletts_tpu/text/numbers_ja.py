@@ -110,6 +110,23 @@ _COUNTERS = {
            8: "はっぱく", 10: "じゅっぱく"},
     "倍": {"base": "ばい"},
     "点": {"base": "てん", 1: "いってん", 8: "はってん", 10: "じゅってん"},
+    # multi-char duration counters (matched by alternation, not char class)
+    "時間": {"base": "じかん", 4: "よじかん", 9: "くじかん"},
+    "週間": {"base": "しゅうかん", 1: "いっしゅうかん", 8: "はっしゅうかん",
+             10: "じゅっしゅうかん"},
+    "年間": {"base": "ねんかん", 4: "よねんかん"},
+    "か月": {"base": "かげつ", 1: "いっかげつ", 6: "ろっかげつ",
+             10: "じゅっかげつ"},
+    "ヶ月": {"base": "かげつ", 1: "いっかげつ", 6: "ろっかげつ",
+             10: "じゅっかげつ"},
+    "カ月": {"base": "かげつ", 1: "いっかげつ", 6: "ろっかげつ",
+             10: "じゅっかげつ"},
+    "か所": {"base": "かしょ", 1: "いっかしょ", 6: "ろっかしょ",
+             8: "はっかしょ", 10: "じゅっかしょ"},
+    "ヶ所": {"base": "かしょ", 1: "いっかしょ", 6: "ろっかしょ",
+             8: "はっかしょ", 10: "じゅっかしょ"},
+    "箇所": {"base": "かしょ", 1: "いっかしょ", 6: "ろっかしょ",
+             8: "はっかしょ", 10: "じゅっかしょ"},
 }
 
 _MONTH = {1: "いちがつ", 2: "にがつ", 3: "さんがつ", 4: "しがつ", 5: "ごがつ",
@@ -134,6 +151,11 @@ def _with_counter(num_str: str, counter: str) -> str:
         return number_to_kana(n) + "にち"
     if counter == "つ" and 1 <= n <= 10:
         return _TSU[n]
+    if counter == "日間":  # native day readings + かん: 3日間 みっかかん,
+        # but 1日間 いちにちかん (ついたち is the date, not the duration)
+        if n == 1:
+            return "いちにちかん"
+        return _with_counter(num_str, "日") + "かん"
     if counter == "歳" and n == 20:
         return "はたち"
     table = _COUNTERS.get(counter)
@@ -147,7 +169,11 @@ def _with_counter(num_str: str, counter: str) -> str:
     # (20分 = に + じゅっぷん); otherwise the final digit's entry
     # (21分 = にじゅう + いっぷん)
     if n % 10 == 0 and n % 100 != 0 and 10 in table:
-        return number_to_kana(n - 10) + table[10]
+        # strip the final じゅう and attach the euphonic 10-form:
+        # 30分 さん+じゅっぷん, 110分 ひゃく+じゅっぷん
+        head = number_to_kana(n)
+        assert head.endswith("じゅう")
+        return head[: -len("じゅう")] + table[10]
     last = n % 10
     if last and last in table and (counter, last) not in _SUPPLETIVE:
         return number_to_kana(n - last) + table[last]
@@ -158,7 +184,8 @@ _FULLWIDTH = str.maketrans("０１２３４５６７８９．，", "0123456789.,
 
 _NUM_COUNTER_RE = re.compile(
     r"(\d[\d,]*)(?:(\.\d+))?([万億兆]?)"
-    r"([年月日時分秒円人個本匹杯歳才回階冊枚台度番号名件軒頭羽歩泊倍点つ]?)"
+    r"(時間|週間|年間|[かヶカ]月|[かヶ]所|箇所|日間|"
+    r"[年月日時分秒円人個本匹杯歳才回階冊枚台度番号名件軒頭羽歩泊倍点つ]?)"
 )
 
 _MAGNITUDE = {"万": 10000, "億": 10 ** 8, "兆": 10 ** 12}
@@ -188,7 +215,7 @@ _KANJI_DIGITS = {"〇": 0, "一": 1, "二": 2, "三": 3, "四": 4,
 _KANJI_UNITS = {"十": 10, "百": 100, "千": 1000}
 _KANJI_NUM_RE = re.compile(
     r"([〇一二三四五六七八九十百千]+[万億兆]?)"
-    r"(?=[年月日時分秒円人個本匹杯歳才回階冊枚台度番号名件軒頭羽歩泊倍点つ])"
+    r"(?=[年月日時分秒円人個本匹杯歳才回階冊枚台度番号名件軒頭羽歩泊倍点つ週かヶカ箇])"
 )
 # lexicalized readings that are NOT digit+counter (十分 じゅうぶん "enough",
 # 一日 いちにち "one day/all day" — the counter table would read ついたち)

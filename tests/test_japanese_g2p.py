@@ -249,3 +249,24 @@ def test_numeral_idioms_protected_from_counter_reading():
     assert v("百発百中") == "百発百中"
     got = j("十人十色").replace("↑", "").replace("↓", "")
     assert got == "juuniNtoiro", got
+
+
+def test_decade_euphony_and_duration_counters():
+    """x10 numbers keep their own decade word before the euphonic 10-form
+    (30分 さんじゅっぷん — regression: was にじゅうじゅっぷん), and the
+    multi-char duration counters read as units (24時間 にじゅうよじかん,
+    3週間, 6か月 ろっかげつ, 3日間 みっかかん, 1日間 いちにちかん)."""
+    from stabletts_tpu.text.numbers_ja import verbalize_numbers as v
+
+    assert v("30分") == "サンジュップン"
+    assert v("50分") == "ゴジュップン"
+    assert v("110分") == "ヒャクジュップン"
+    assert v("24時間") == "ニジュウヨジカン"
+    assert v("3週間") == "サンシュウカン"
+    assert v("1週間") == "イッシュウカン"
+    assert v("6か月") == "ロッカゲツ"
+    assert v("3ヶ月") == "サンカゲツ"
+    assert v("5か所") == "ゴカショ"
+    assert v("3日間") == "ミッカカン"
+    assert v("1日間") == "イチニチカン"
+    assert v("二十四時間") == "ニジュウヨジカン"

@@ -139,11 +139,20 @@ def _expand_number(m: re.Match) -> str:
     return number_to_words(num)
 
 
+_percent_re = re.compile(r"([0-9])\s*%")
+_hash_number_re = re.compile(r"#\s*([0-9])")
+
+
 def normalize_numbers(text: str) -> str:
-    """(reference: text/english.py:146-153)."""
+    """(reference: text/english.py:146-153). % and #N are verbalized here
+    even though the reference drops them at sequence time — '% ' and '#'
+    are not in the symbol table, so leaving them would silently lose
+    'percent' / 'number' from the audio."""
     text = re.sub(_comma_number_re, lambda m: m.group(1).replace(",", ""), text)
     text = re.sub(_pounds_re, r"\1 pounds", text)
     text = re.sub(_dollars_re, _expand_dollars, text)
+    text = re.sub(_percent_re, r"\1 percent", text)
+    text = re.sub(_hash_number_re, r"number \1", text)
     text = re.sub(_decimal_number_re, lambda m: m.group(1).replace(".", " point "), text)
     text = re.sub(_ordinal_re, lambda m: ordinal_to_words(m.group(0)), text)
     text = re.sub(_number_re, _expand_number, text)

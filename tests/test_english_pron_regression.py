@@ -558,3 +558,11 @@ def test_british_spellings_resolve_to_american_forms():
     # near-misses must not be corrupted by the respell rules
     for w, expect in [("hour", "ˈaʊər"), ("course", "kɔrs")]:
         assert _lookup(w) == expect
+
+
+def test_percent_and_hash_verbalized():
+    """% and #N must be spoken — the symbol table has neither character, so
+    without verbalization they would be silently dropped from the audio."""
+    assert english_to_ipa("25% of them") == "ˈtwɛnti- faɪv pərˈsɛnt əv ðɛm"
+    assert english_to_ipa("#4 on the list") == "ˈnəmbər fɔr ɑn ðə lɪst"
+    assert english_to_ipa("100% sure") == "wən ˈhəndrəd pərˈsɛnt ʃʊr"

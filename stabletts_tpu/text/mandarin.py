@@ -42,7 +42,13 @@ NUMBER_PATTERN = re.compile(r"\d+(?:\.?\d+)?")
 _FILTER_PATTERN = re.compile(r"[#&@“”^_|\\]")
 
 
+_PERCENT_PATTERN = re.compile(r"(\d+(?:\.\d+)?)\s*%")
+
+
 def normalize_number(text: str) -> str:
+    # N% -> 百分之N first: '%' is not a symbol and would otherwise leak
+    # through the CNM3 stream as a dead token
+    text = _PERCENT_PATTERN.sub(lambda m: "百分之" + an2cn(m.group(1)), text)
     return NUMBER_PATTERN.sub(lambda m: an2cn(m.group()), text)
 
 

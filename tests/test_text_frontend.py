@@ -162,3 +162,14 @@ def test_katakana():
     assert kana_to_romaji("コンピュータ") == kana_to_romaji("こんぴゅうた").replace("uu", "uu") or True
     out = kana_to_romaji("コーヒー")
     assert out == "koohii"
+
+
+def test_mandarin_percent_verbalized():
+    """N% must read 百分之N — '%' is not in the symbol table and would be
+    silently dropped from the CNM3 stream."""
+    from stabletts_tpu.text.mandarin import chinese_to_cnm3
+
+    out = " ".join(chinese_to_cnm3("25%的学生"))
+    assert "%" not in out
+    # 百分之二十五 prefix: bai3 fen1 zhi1 er4 shi2 wu3
+    assert out.startswith("b3 a03 I03 f1 e01 N01 zh1 ir1 er4")

@@ -36,6 +36,8 @@ _abbreviations = [
         ("drs", "doctors"), ("rev", "reverend"), ("lt", "lieutenant"),
         ("hon", "honorable"), ("sgt", "sergeant"), ("capt", "captain"),
         ("esq", "esquire"), ("ltd", "limited"), ("col", "colonel"), ("ft", "fort"),
+        # meridiem markers: 'a.m.' must not read its 'a' as the article
+        (r"a\.m", "ay em"), (r"p\.m", "pee em"),
     ]
 ]
 
@@ -472,7 +474,11 @@ def _rule_g2p(word: str) -> str:
 
 
 def asciify(text: str) -> str:
-    """unidecode-lite: NFKD-decompose and strip non-ASCII marks."""
+    """unidecode-lite: NFKD-decompose and strip non-ASCII marks. £ is
+    verbalized first — normalize_numbers runs after asciify, and bare
+    stripping would silently lose 'pounds' (reference keeps it via
+    its _pounds_re, text/english.py:147)."""
+    text = re.sub(r"£([0-9\,]*[0-9]+)", r"\1 pounds", text)
     decomposed = unicodedata.normalize("NFKD", text)
     return "".join(c for c in decomposed if ord(c) < 128)
 

@@ -141,6 +141,16 @@ def _expand_number(m: re.Match) -> str:
 
 _percent_re = re.compile(r"([0-9])\s*%")
 _hash_number_re = re.compile(r"#\s*([0-9])")
+_time_re = re.compile(r"\b([01]?[0-9]|2[0-3]):([0-5][0-9])\b")
+
+
+def _expand_time(m: re.Match) -> str:
+    h, mm = m.group(1), m.group(2)
+    if mm == "00":
+        return f"{h} o'clock"
+    if mm[0] == "0":
+        return f"{h} oh {mm[1]}"
+    return f"{h} {mm}"
 
 
 def normalize_numbers(text: str) -> str:
@@ -153,6 +163,7 @@ def normalize_numbers(text: str) -> str:
     text = re.sub(_dollars_re, _expand_dollars, text)
     text = re.sub(_percent_re, r"\1 percent", text)
     text = re.sub(_hash_number_re, r"number \1", text)
+    text = re.sub(_time_re, _expand_time, text)
     text = re.sub(_decimal_number_re, lambda m: m.group(1).replace(".", " point "), text)
     text = re.sub(_ordinal_re, lambda m: ordinal_to_words(m.group(0)), text)
     text = re.sub(_number_re, _expand_number, text)

@@ -566,3 +566,16 @@ def test_percent_and_hash_verbalized():
     assert english_to_ipa("25% of them") == "ˈtwɛnti- faɪv pərˈsɛnt əv ðɛm"
     assert english_to_ipa("#4 on the list") == "ˈnəmbər fɔr ɑn ðə lɪst"
     assert english_to_ipa("100% sure") == "wən ˈhəndrəd pərˈsɛnt ʃʊr"
+
+
+def test_times_currency_acronyms_and_meridiem():
+    """Clock times, pounds sterling, letter-name acronyms and a.m./p.m.
+    must all verbalize: each previously leaked dead tokens (':', stripped
+    '£', LTS-garbled 'tv') or misread 'a.m.' with the article ə."""
+    assert english_to_ipa("at 7:00 sharp") == "æt ˈsɛvən əˈklɑk ʃɑrp"
+    assert english_to_ipa("It is 12:05.") == "ɪt ɪz twɛlv oʊ faɪv."
+    assert english_to_ipa("£50 fine") == "ˈfɪfti paʊndz faɪn"
+    assert english_to_ipa("watch TV") == "wɑʧ ˌtiˈvi"
+    assert english_to_ipa("at 3 p.m. or 9 a.m. sharp") == \
+        "æt θri pi ɛm ɔr naɪn eɪ ɛm ʃɑrp"
+    assert english_to_ipa("I am here.") == "aɪ æm hir."

@@ -483,6 +483,13 @@ def asciify(text: str) -> str:
     return "".join(c for c in decomposed if ord(c) < 128)
 
 
+def expand_symbols(text: str) -> str:
+    """& and @ are spoken words, not symbols the 401-table can carry."""
+    text = re.sub(r"\s*&\s*", " and ", text)
+    text = re.sub(r"\s*@\s*", " at ", text)
+    return text
+
+
 def expand_abbreviations(text: str) -> str:
     for regex, replacement in _abbreviations:
         text = re.sub(regex, replacement, text)
@@ -534,6 +541,7 @@ def oov_words(text: str) -> List[str]:
     morphology to the letter-to-sound fallback. Used by the pronunciation
     regression suite to enforce an OOV-rate budget on ordinary prose."""
     text = asciify(text).lower()
+    text = expand_symbols(text)
     text = expand_abbreviations(text)
     text = normalize_numbers(text)
     out = []
@@ -550,6 +558,7 @@ def mark_dark_l(text: str) -> str:
 
 def english_to_ipa(text: str) -> str:
     text = asciify(text).lower()
+    text = expand_symbols(text)
     text = expand_abbreviations(text)
     text = normalize_numbers(text)
     phonemes = ipa_convert(text)

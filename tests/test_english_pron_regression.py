@@ -579,3 +579,8 @@ def test_times_currency_acronyms_and_meridiem():
     assert english_to_ipa("at 3 p.m. or 9 a.m. sharp") == \
         "æt θri pi ɛm ɔr naɪn eɪ ɛm ʃɑrp"
     assert english_to_ipa("I am here.") == "aɪ æm hir."
+
+
+def test_ampersand_and_at_sign_verbalized():
+    assert english_to_ipa("rock & roll") == "rɑk ænd roʊl"
+    assert english_to_ipa("me@example.com") == "mi æt ɪgˈzæmpəl. kɑm"

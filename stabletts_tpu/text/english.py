@@ -473,12 +473,30 @@ def _rule_g2p(word: str) -> str:
     return _assign_stress(word.lower(), flat)
 
 
+def _expand_pounds(m: re.Match) -> str:
+    """£N -> 'N pounds' (reference behavior, text/english.py:147);
+    £N.DD additionally expands the decimals as pence so '£1.50' reads
+    'one pounds, fifty pence' instead of leaking a dead '.50'."""
+    amount = m.group(1).replace(",", "")
+    parts = amount.split(".")
+    if len(parts) > 2:
+        return amount + " pounds"
+    pounds = parts[0] or "0"
+    pence = int((parts[1] + "0")[:2]) if len(parts) > 1 and parts[1] else 0
+    if pence:
+        unit = "penny" if pence == 1 else "pence"
+        if parts[0] and int(parts[0]):
+            return f"{pounds} pounds, {pence} {unit}"
+        return f"{pence} {unit}"
+    return f"{pounds} pounds"
+
+
 def asciify(text: str) -> str:
     """unidecode-lite: NFKD-decompose and strip non-ASCII marks. £ is
     verbalized first — normalize_numbers runs after asciify, and bare
     stripping would silently lose 'pounds' (reference keeps it via
     its _pounds_re, text/english.py:147)."""
-    text = re.sub(r"£([0-9\,]*[0-9]+)", r"\1 pounds", text)
+    text = re.sub(r"£([0-9\,]*[0-9]+(?:\.[0-9]+)?)", _expand_pounds, text)
     decomposed = unicodedata.normalize("NFKD", text)
     return "".join(c for c in decomposed if ord(c) < 128)
 

@@ -141,16 +141,34 @@ def _expand_number(m: re.Match) -> str:
 
 _percent_re = re.compile(r"([0-9])\s*%")
 _hash_number_re = re.compile(r"#\s*([0-9])")
-_time_re = re.compile(r"\b([01]?[0-9]|2[0-3]):([0-5][0-9])\b")
+# ':' guards: a candidate preceded or followed by ':' is part of an
+# H:MM:SS form and must be handled whole by _hms_re, never as two
+# overlapping H:MM matches that leak a dead ':' token
+_time_re = re.compile(r"\b(?<![:\d])([01]?[0-9]|2[0-3]):([0-5][0-9])\b(?!:)")
+_hms_re = re.compile(
+    r"\b(?<![:\d])([01]?[0-9]|2[0-3]):([0-5][0-9]):([0-5][0-9])\b(?!:)"
+)
+
+
+def _two_digit(g: str) -> str:
+    if g[0] == "0":
+        return f"oh {g[1]}"
+    return g
 
 
 def _expand_time(m: re.Match) -> str:
     h, mm = m.group(1), m.group(2)
     if mm == "00":
         return f"{h} o'clock"
-    if mm[0] == "0":
-        return f"{h} oh {mm[1]}"
-    return f"{h} {mm}"
+    return f"{h} {_two_digit(mm)}"
+
+
+def _expand_hms(m: re.Match) -> str:
+    h, mm, ss = m.groups()
+    parts = [h, "zero" if mm == "00" else _two_digit(mm)]
+    if ss != "00":
+        parts.append("and " + (ss if ss[0] != "0" else ss[1]) + " seconds")
+    return " ".join(parts)
 
 
 def normalize_numbers(text: str) -> str:
@@ -163,6 +181,7 @@ def normalize_numbers(text: str) -> str:
     text = re.sub(_dollars_re, _expand_dollars, text)
     text = re.sub(_percent_re, r"\1 percent", text)
     text = re.sub(_hash_number_re, r"number \1", text)
+    text = re.sub(_hms_re, _expand_hms, text)
     text = re.sub(_time_re, _expand_time, text)
     text = re.sub(_decimal_number_re, lambda m: m.group(1).replace(".", " point "), text)
     text = re.sub(_ordinal_re, lambda m: ordinal_to_words(m.group(0)), text)

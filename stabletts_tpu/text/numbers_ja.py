@@ -170,10 +170,13 @@ def _with_counter(num_str: str, counter: str) -> str:
     # (21分 = にじゅう + いっぷん)
     if n % 10 == 0 and n % 100 != 0 and 10 in table:
         # strip the final じゅう and attach the euphonic 10-form:
-        # 30分 さん+じゅっぷん, 110分 ひゃく+じゅっぷん
+        # 30分 さん+じゅっぷん, 110分 ひゃく+じゅっぷん. Every such
+        # reading currently ends じゅう; fall through to the generic
+        # path if a future number_to_kana form does not (no bare assert
+        # in the synthesis path — it would vanish under python -O).
         head = number_to_kana(n)
-        assert head.endswith("じゅう")
-        return head[: -len("じゅう")] + table[10]
+        if head.endswith("じゅう"):
+            return head[: -len("じゅう")] + table[10]
     last = n % 10
     if last and last in table and (counter, last) not in _SUPPLETIVE:
         return number_to_kana(n - last) + table[last]
@@ -260,10 +263,13 @@ def _kanji_numerals_to_arabic(text: str) -> str:
         end = m.end()
         if text[m.start():end + 1] in _KANJI_NUM_EXCEPTIONS:
             return m.group(0)
+        # containment requires start k in [end-len(w), m.start()]; test
+        # those positions directly (str.find's first hit in the window can
+        # miss a later containing occurrence when the word repeats nearby)
         for w in _protected_words():
-            k = text.find(w, max(0, m.start() - len(w) + 1), m.end() + len(w))
-            if k != -1 and k <= m.start() and k + len(w) >= end:
-                return m.group(0)
+            for k in range(max(0, end - len(w)), m.start() + 1):
+                if text.startswith(w, k):
+                    return m.group(0)
         return str(_parse_kanji_numeral(m.group(1)))
 
     return _KANJI_NUM_RE.sub(repl, text)

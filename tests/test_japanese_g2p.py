@@ -236,7 +236,7 @@ def test_suppletive_counter_forms_do_not_combine():
     assert v("二人は") == "フタリは"
     assert v("三十一人") == "サンジュウイチニン"
     assert v("22人") == "ニジュウニニン"
-    assert v("24人") == "ニジュウヨネン" or v("24人") == "ニジュウヨニン"
+    assert v("24人") == "ニジュウヨニン"
 
 
 def test_numeral_idioms_protected_from_counter_reading():

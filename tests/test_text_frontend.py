@@ -118,6 +118,27 @@ def test_english_number_normalization():
     assert normalize_numbers("123") == "one hundred twenty-three"
 
 
+def test_english_pounds_decimal():
+    from stabletts_tpu.text.english import asciify
+
+    # advisor r4: '£1.50' must not leak a dead '.50' after the amount
+    assert asciify("£1.50") == "1 pounds, 50 pence"
+    assert asciify("£3") == "3 pounds"
+    assert asciify("£0.99") == "99 pence"
+    assert asciify("£1,200") == "1200 pounds"
+
+
+def test_english_time_hms():
+    from stabletts_tpu.text.numbers_en import normalize_numbers
+
+    # advisor r4: H:MM:SS handled whole, no dead ':' token leaking
+    out = normalize_numbers("13:45:30")
+    assert ":" not in out
+    assert out == "thirteen forty-five and thirty seconds"
+    assert normalize_numbers("9:05") == "nine oh five"
+    assert normalize_numbers("10:00") == "ten o'clock"
+
+
 def test_english_abbreviations():
     from stabletts_tpu.text.english import english_to_ipa
 

@@ -121,15 +121,28 @@ _PARTICLE_READING = {"は": "わ", "へ": "え"}
 
 _DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 _word_dict: Optional[Dict[str, Tuple[str, int]]] = None
-# kanji -> (isolated_reading, compound_reading). compound_reading is the
-# on reading used inside multi-kanji Sino compounds; it falls back to the
-# isolated reading when the table has no third column (on == kun, or the
-# kanji is kun-only even in compounds: 畑, 峠, 箱 ...).
-_kanji_dict: Optional[Dict[str, Tuple[str, str]]] = None
+# kanji -> (isolated_reading, on_variants, initial_on).
+#   on_variants: the on readings usable inside multi-kanji Sino compounds,
+#     pipe-separated in the table, first = default (used compound-finally
+#     and wherever no more specific rule applies); falls back to the
+#     isolated reading when the table has no third column (on == kun, or
+#     the kanji is kun-only even in compounds: 畑, 峠, 箱 ...).
+#   initial_on: optional 4th column — the variant used when the kanji is
+#     NOT in effectively-final position (力学 りき vs 能力 りょく). The
+#     reference gets every context-dependent reading whole from Open
+#     JTalk's morphological dictionary (/root/reference/text/japanese.py:84);
+#     here default/initial variants + the pair-binding table below cover
+#     the じ/ち, りき/りょく, にん/じん, こう/ぎょう-class splits.
+_kanji_dict: Optional[Dict[str, Tuple[str, List[str], Optional[str]]]] = None
+# (left_kanji, right_kanji) at an element boundary -> (left_reading,
+# right_reading) lexicalized overrides; "" = leave that side alone.
+_binding_dict: Optional[Dict[Tuple[str, str], Tuple[str, str]]] = None
 _max_word_len = 1
 
 
-def _load_dicts() -> Tuple[Dict[str, Tuple[str, int]], Dict[str, Tuple[str, str]]]:
+def _load_dicts() -> Tuple[
+    Dict[str, Tuple[str, int]], Dict[str, Tuple[str, List[str], Optional[str]]]
+]:
     global _word_dict, _kanji_dict, _max_word_len
     if _word_dict is None:
         words: Dict[str, Tuple[str, int]] = {}
@@ -141,7 +154,7 @@ def _load_dicts() -> Tuple[Dict[str, Tuple[str, int]], Dict[str, Tuple[str, str]
                     if len(parts) >= 2 and parts[0]:
                         accent = int(parts[2]) if len(parts) > 2 and parts[2] else 0
                         words.setdefault(parts[0], (parts[1], accent))
-        kanji: Dict[str, Tuple[str, str]] = {}
+        kanji: Dict[str, Tuple[str, List[str], Optional[str]]] = {}
         path = os.path.join(_DATA_DIR, "ja_kanji.tsv")
         if os.path.exists(path):
             with open(path, encoding="utf-8") as f:
@@ -149,12 +162,36 @@ def _load_dicts() -> Tuple[Dict[str, Tuple[str, int]], Dict[str, Tuple[str, str]
                     parts = line.rstrip("\n").split("\t")
                     if len(parts) >= 2 and parts[0]:
                         iso = parts[1]
-                        comp = parts[2] if len(parts) > 2 and parts[2] else iso
-                        kanji.setdefault(parts[0], (iso, comp))
+                        ons = (
+                            parts[2].split("|")
+                            if len(parts) > 2 and parts[2]
+                            else [iso]
+                        )
+                        initial = (
+                            parts[3] if len(parts) > 3 and parts[3] else None
+                        )
+                        kanji.setdefault(parts[0], (iso, ons, initial))
         _word_dict = words
         _kanji_dict = kanji
         _max_word_len = max((len(w) for w in words), default=1)
     return _word_dict, _kanji_dict
+
+
+def _load_bindings() -> Dict[Tuple[str, str], Tuple[str, str]]:
+    global _binding_dict
+    if _binding_dict is None:
+        bindings: Dict[Tuple[str, str], Tuple[str, str]] = {}
+        path = os.path.join(_DATA_DIR, "ja_bindings.tsv")
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as f:
+                for line in f:
+                    parts = line.rstrip("\n").split("\t")
+                    if len(parts) >= 3 and len(parts[0]) == 2:
+                        bindings.setdefault(
+                            (parts[0][0], parts[0][1]), (parts[1], parts[2])
+                        )
+        _binding_dict = bindings
+    return _binding_dict
 
 
 def _kata_to_hira(text: str) -> str:
@@ -253,6 +290,62 @@ def _join_on_readings(
             elif prev and prev[-1] == "ん" and first in _H2P:
                 r = _H2P[first] + r[1:]
         out.append(r)
+    return out
+
+
+# noun-forming suffix kanji that attach AFTER a complete compound: for
+# on-variant selection they are transparent — the kanji before them keeps
+# its effectively-final reading (能力者 のうりょくしゃ stays りょく, not
+# the compound-initial りき of 力学)
+_TRANSPARENT_SUFFIX = {
+    "者", "的", "化", "性", "費", "論", "界", "感", "権", "制", "式",
+    "型", "級", "層", "側", "団", "場", "家", "別", "用", "上", "戦",
+}
+
+
+def _select_on_variants(
+    surfaces: List[str],
+    readings: List[str],
+    kanji_tbl: Dict[str, Tuple[str, List[str], Optional[str]]],
+) -> List[str]:
+    """Pick each single-kanji element's on reading in compound context.
+
+    Priority: (1) pair bindings — lexicalized readings keyed on the two
+    kanji at an element boundary (自治 じ+ち, 人間 にん+げん, 行政
+    ぎょう+せい); (2) positional preference — the table's 4th-column
+    variant when the kanji is not effectively final (力学 りき); (3) the
+    default (first) on variant. Multi-kanji word elements keep their
+    dictionary readings. The reference resolves all of this through Open
+    JTalk's morphological dictionary (/root/reference/text/japanese.py:84).
+    """
+    n = len(surfaces)
+
+    def effectively_final(i: int) -> bool:
+        return all(
+            len(surfaces[j]) == 1 and surfaces[j] in _TRANSPARENT_SUFFIX
+            for j in range(i + 1, n)
+        )
+
+    out: List[str] = []
+    for i, s in enumerate(surfaces):
+        if len(s) == 1 and s in kanji_tbl:
+            _, ons, initial = kanji_tbl[s]
+            if initial and not effectively_final(i):
+                out.append(initial)
+            else:
+                out.append(ons[0])
+        else:
+            out.append(readings[i])
+    bindings = _load_bindings()
+    for i in range(n - 1):
+        key = (surfaces[i][-1], surfaces[i + 1][0])
+        hit = bindings.get(key)
+        if hit:
+            left, right = hit
+            if left and len(surfaces[i]) == 1:
+                out[i] = left
+            if right and len(surfaces[i + 1]) == 1:
+                out[i + 1] = right
     return out
 
 
@@ -355,15 +448,13 @@ def _segment(sentence: str) -> List[Tuple[List[str], int]]:
         """Install a Sino-compound phrase from (surface, reading) elements.
         Single-kanji elements are re-read with their *compound* (on) reading
         — a stem that entered as an isolated word (体 -> からだ) must flip
-        to its on reading once a compound forms (体力 -> たいりょく)."""
+        to its on reading once a compound forms (体力 -> たいりょく) — with
+        variant selection (bindings + position) via _select_on_variants."""
         nonlocal current, current_accent, has_head, comp_elems
-        elements = [
-            (s, kanji[s][1]) if len(s) == 1 and s in kanji else (s, r)
-            for s, r in elements
-        ]
-        readings = _join_on_readings(
-            [r for _, r in elements], [s for s, _ in elements]
-        )
+        surfaces = [s for s, _ in elements]
+        selected = _select_on_variants(surfaces, [r for _, r in elements], kanji)
+        elements = list(zip(surfaces, selected))
+        readings = _join_on_readings(selected, surfaces)
         per_elem = [kana_to_moras(r) for r in readings]
         current = [m for ms in per_elem for m in ms]
         current_accent = _compound_accent(
@@ -449,7 +540,7 @@ def _segment(sentence: str) -> List[Tuple[List[str], int]]:
                 if rd is None and cj in words:
                     # single-kanji word absent from the kanji table
                     wr = words[cj][0]
-                    rd = (wr, wr)
+                    rd = (wr, [wr], None)
                 if rd is None and cj == "々" and j > i:
                     prev_surf = items[-1][0][-1] if items else ""
                     rd = kanji.get(prev_surf)
@@ -458,7 +549,7 @@ def _segment(sentence: str) -> List[Tuple[List[str], int]]:
                 if rd is None:
                     skipped.append(cj)
                 else:
-                    items.append((cj, rd[0], rd[1]))
+                    items.append((cj, rd[0], rd[1][0]))
                 j += 1
                 # a consumed word ends the chain only if what follows is
                 # not kanji — the loop condition handles that

@@ -54,7 +54,71 @@ def test_ja_words_readings_in_symbol_table():
 
 
 def test_ja_kanji_readings_in_symbol_table():
-    _check(os.path.join(_DATA, "ja_kanji.tsv"), [1, 2])
+    # column 2 may carry pipe-separated on variants; column 3 an initial
+    # variant — every alternative must individually survive the pipeline
+    symset = set(symbols)
+    bad = []
+    path = os.path.join(_DATA, "ja_kanji.tsv")
+    with open(path, encoding="utf-8") as f:
+        for ln, line in enumerate(f, 1):
+            parts = line.rstrip("\n").split("\t")
+            if not parts or not parts[0]:
+                continue
+            readings = [parts[1]] if len(parts) > 1 else []
+            if len(parts) > 2 and parts[2]:
+                readings += parts[2].split("|")
+            if len(parts) > 3 and parts[3]:
+                readings.append(parts[3])
+            for r in readings:
+                ipa = _to_ipa2(r)
+                missing = [ch for ch in ipa if ch not in symset]
+                if missing or not ipa:
+                    bad.append((ln, parts[0], r, missing or "EMPTY"))
+    assert not bad, bad[:10]
+
+
+def test_ja_kanji_initial_variant_is_listed():
+    """Column 4 (compound-initial on) must be one of column 3's variants —
+    an unlisted initial reading would be invisible to audits."""
+    path = os.path.join(_DATA, "ja_kanji.tsv")
+    bad = []
+    with open(path, encoding="utf-8") as f:
+        for ln, line in enumerate(f, 1):
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) > 3 and parts[3]:
+                ons = parts[2].split("|") if len(parts) > 2 and parts[2] else []
+                if parts[3] not in ons:
+                    bad.append((ln, parts[0], parts[3], ons))
+    assert not bad, bad
+
+
+def test_ja_bindings_well_formed():
+    """ja_bindings.tsv: 2-kanji key, at least one override, every reading
+    survives the kana -> IPA2 pipeline with symbol-table characters."""
+    symset = set(symbols)
+    bad = []
+    path = os.path.join(_DATA, "ja_bindings.tsv")
+    seen = set()
+    with open(path, encoding="utf-8") as f:
+        for ln, line in enumerate(f, 1):
+            parts = line.rstrip("\n").split("\t")
+            if not parts or not parts[0]:
+                continue
+            if len(parts) < 3 or len(parts[0]) != 2:
+                bad.append((ln, parts[0], "malformed row"))
+                continue
+            if parts[0] in seen:
+                bad.append((ln, parts[0], "duplicate pair"))
+            seen.add(parts[0])
+            if not parts[1] and not parts[2]:
+                bad.append((ln, parts[0], "no override"))
+            for r in (parts[1], parts[2]):
+                if r:
+                    ipa = _to_ipa2(r)
+                    missing = [ch for ch in ipa if ch not in symset]
+                    if missing or not ipa:
+                        bad.append((ln, parts[0], r, missing or "EMPTY"))
+    assert not bad, bad[:10]
 
 
 def test_ja_words_accent_types_sane():

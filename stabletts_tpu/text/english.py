@@ -146,6 +146,10 @@ def _lookup(word: str, depth: int = 0) -> Optional[str]:
         if p:
             return _suffix_ed(p)
     # progressive
+    if word.endswith("ying") and len(word) > 4:
+        p = base(word[:-4] + "ie")  # tie -> tying, lie -> lying
+        if p:
+            return p + "ɪŋ"
     if word.endswith("ing"):
         stem = word[:-3]
         p = None
@@ -164,6 +168,13 @@ def _lookup(word: str, depth: int = 0) -> Optional[str]:
         if p:
             # formal+ly -> fOrm@li, not a geminate ll
             return p + ("i" if p.endswith("l") else "li")
+        if word.endswith("lly"):
+            p = base(word[:-1])  # full+ly spelled 'fully'
+            if p:
+                return p + "i"
+        p = base(word[:-2] + "le")  # gentle+ly spelled 'gently'
+        if p:
+            return p[:-2] + "li" if p.endswith("əl") else p + "li"
     # comparative / superlative / agent
     for suf, tail in (("er", "ər"), ("est", "əst")):
         if word.endswith(suf):

@@ -1,0 +1,92 @@
+"""English lexicon integrity invariants (VERDICT r4 #2).
+
+1. Frequency-mass coverage: every word in the vendored top-5k frequency
+   list must resolve through lexicon + morphology — zero letter-to-sound
+   fallbacks. The OOV budget in test_english_pron_regression counts words,
+   not frequency mass; this test is what stops top-500 words (month, won,
+   cover) from silently falling through. The reference gets this for free
+   from CMUdict via eng_to_ipa (/root/reference/text/english.py:169-175).
+2. Lemma closure: every inflection-shaped lexicon entry (-ed/-ing/-(e)s)
+   must have a resolvable lemma, or be on the explicit allowlist of
+   lexicalized non-inflections — "covered"-without-"cover" holes die here.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+import en_audit  # noqa: E402
+
+
+def test_top5k_words_resolve_in_lexicon():
+    words = en_audit.top5k_words()
+    assert len(words) >= 5000, f"top-5k list too small: {len(words)}"
+    misses = en_audit.top5k_misses()
+    assert not misses, (
+        f"{len(misses)} top-5k words fall through to letter-to-sound: "
+        f"{misses[:30]}"
+    )
+
+
+# entries shaped like inflections that are NOT (proper nouns, pluralia
+# tantum, Greek/Latin plurals, lexicalized participial adjectives, -ing
+# nouns without a verbal base). Audited by hand against the closure tool.
+CLOSURE_ALLOWLIST = {
+    # lexicalized participial adjectives / fossil forms
+    "ashamed", "belated", "beloved", "cunning", "darling", "dejected",
+    "disgruntled", "hackneyed", "impending", "indebted", "inexperienced",
+    "jagged", "lopsided", "naked", "sacred", "wretched", "foreboding",
+    "grueling", "oncoming", "ongoing", "outgoing", "pending", "upcoming",
+    # -ing nouns without a verbal base (or whose base is not lexical)
+    "awning", "ceiling", "hunting", "inkling", "lightning", "morning",
+    "phishing", "pudding", "riesling", "sterling", "starling", "seedling",
+    "sibling", "string", "spring", "upbringing", "uprising", "viking",
+    "wainscoting", "offspring",
+    # pluralia tantum / lexical plurals / Greek-Latin plurals
+    "arrears", "billiards", "binoculars", "cents", "congratulations",
+    "corps", "diabetes", "eaves", "forceps", "gallows", "galoshes",
+    "goggles", "herpes", "hypotheses", "measles", "molasses", "mumps",
+    "rabies", "scissors", "series", "shambles", "schnapps", "species",
+    "suds", "tongs", "trousers", "tweezers", "vertices", "wives",
+    "microservices", "telecommunications", "pilates",
+    # reflexive pronouns / adverbs / function words
+    "always", "during", "nothing", "nowadays", "oops", "ourselves",
+    "perhaps", "themselves", "upstairs", "yourselves", "hundred",
+    # bare lemmas that merely end in an inflection shape
+    "embed", "shred", "seabed", "infrared", "lens",
+    # proper nouns
+    "achilles", "ahmed", "algiers", "athens", "beijing", "boeing",
+    "brahms", "bruges", "brussels", "cairns", "cervantes", "charles",
+    "chongqing", "collins", "cyclops", "descartes", "dickens", "evans",
+    "flores", "hans", "hercules", "hermes", "hors", "jacques", "jones",
+    "kubernetes", "lars", "massachusetts", "mercedes", "mohammed",
+    "moses", "nanjing", "nantes", "naples", "netherlands", "orleans",
+    "phillips", "reyes", "rhys", "rowling", "socrates", "turing",
+    "wales", "wyoming", "yates", "yonkers",
+}
+
+
+def test_lemma_closure():
+    violations = set(en_audit.closure_violations())
+    new = violations - CLOSURE_ALLOWLIST
+    assert not new, (
+        f"inflection-shaped lexicon entries with no resolvable lemma "
+        f"(add the lemma or, if lexicalized, extend the allowlist): "
+        f"{sorted(new)[:30]}"
+    )
+    stale = CLOSURE_ALLOWLIST - violations
+    assert not stale, (
+        f"allowlist entries no longer flagged (remove them): {sorted(stale)}"
+    )
+
+
+def test_verdict_probe_sentence():
+    """Judge's round-4 probe: 'a month of covers won' with the correct
+    reduced vowels (mənθ / ˈkəvəɹz / wən), not LTS-mangled ɑ forms."""
+    from stabletts_tpu.text.english import english_to_ipa2
+
+    out = "".join(english_to_ipa2("a month of covers won"))
+    assert "mənθ" in out, out
+    assert "ˈkəvəɹz" in out, out
+    assert "wən" in out, out

@@ -171,7 +171,7 @@ PROBES_R4 = {
     "necessary": "ˈnɛsəˌsɛri",
     "available": "əˈveɪləbəl",
     "comfortable": "ˈkəmfərtəbəl",
-    "dangerous": "ˈdænʤərəs",
+    "dangerous": "ˈdeɪnʤərəs",  # CMU D EY1 N JH ER0 AH0 S (r5: was pinned to the LTS æ form)
     "expensive": "ɪkˈspɛnsɪv",
     "interesting": "ˈɪntrəstɪŋ",
     "surprising": "sərˈpraɪzɪŋ",
@@ -200,7 +200,7 @@ PROBES_R4 = {
     "stranger": "ˈstreɪnʤər",
     "visitor": "ˈvɪzətər",
     "teacher": "ˈtiʧər",
-    "student": "ˈstədənt",
+    "student": "ˈstudənt",  # CMU S T UW1 D AH0 N T (r5: was pinned to the LTS ə form)
     "doctor": "ˈdɑktər",
     "nurse": "nərs",
     "lawyer": "ˈlɔjər",

@@ -44,6 +44,11 @@ _abbreviations = [
 _ipa_to_ipa2 = [(re.compile(p), r) for p, r in [("r", "ɹ"), ("ʤ", "dʒ"), ("ʧ", "tʃ")]]
 
 _LEXICON_PATH = os.path.join(os.path.dirname(__file__), "data", "en_lexicon.tsv")
+# machine-generated inflection closure (tools/en_inflect.py); loaded after
+# the hand-kept lexicon, which wins on conflict via setdefault
+_LEXICON_INFLECT_PATH = os.path.join(
+    os.path.dirname(__file__), "data", "en_lexicon_inflect.tsv"
+)
 _lexicon: Optional[Dict[str, str]] = None
 
 
@@ -51,13 +56,16 @@ def _load_lexicon() -> Dict[str, str]:
     global _lexicon
     if _lexicon is None:
         lex: Dict[str, str] = {}
-        with open(_LEXICON_PATH, encoding="utf-8") as f:
-            for line in f:
-                line = line.rstrip("\n")
-                if not line or "\t" not in line:
-                    continue
-                word, pron = line.split("\t", 1)
-                lex.setdefault(word.lower(), pron)
+        for path in (_LEXICON_PATH, _LEXICON_INFLECT_PATH):
+            if not os.path.exists(path):
+                continue
+            with open(path, encoding="utf-8") as f:
+                for line in f:
+                    line = line.rstrip("\n")
+                    if not line or line.startswith("#") or "\t" not in line:
+                        continue
+                    word, pron = line.split("\t", 1)
+                    lex.setdefault(word.lower(), pron)
         _lexicon = lex
     return _lexicon
 
@@ -209,10 +217,23 @@ def _lookup(word: str, depth: int = 0) -> Optional[str]:
                           "er", "ers", "es", "ed", "en", "al", "ly", "is",
                           "le", "la", "de"}
     if depth <= 1 and len(word) >= 6:
+        splits = []
         for i in range(len(word) - 2, 2, -1):
             a, b = word[:i], word[i:]
             if a in lex and b in lex and b not in _NOT_COMPOUND_TAIL:
-                return lex[a] + lex[b]
+                splits.append((a, b))
+        if splits:
+            # longest first part wins, but a plural-looking first part is
+            # deprioritized: with inflected rows in the lexicon, seashells
+            # -> seashell must split sea+shell, never seas+hell
+            a, b = min(
+                splits,
+                key=lambda ab: (
+                    ab[0].endswith("s") and not ab[0].endswith("ss"),
+                    -len(ab[0]),
+                ),
+            )
+            return lex[a] + lex[b]
     # British spellings -> the American lexicon form (colour, centre,
     # analyse, anaemia, travelled ...). A candidate respelling is used only
     # if it actually resolves, so near-misses ("hour" -> "hor") fall through

@@ -39,7 +39,7 @@ CLOSURE_ALLOWLIST = {
     "jagged", "lopsided", "naked", "sacred", "wretched", "foreboding",
     "grueling", "oncoming", "ongoing", "outgoing", "pending", "upcoming",
     # -ing nouns without a verbal base (or whose base is not lexical)
-    "awning", "ceiling", "hunting", "inkling", "lightning", "morning",
+    "awning", "ceiling", "inkling", "lightning", "morning",
     "phishing", "pudding", "riesling", "sterling", "starling", "seedling",
     "sibling", "string", "spring", "upbringing", "uprising", "viking",
     "wainscoting", "offspring",

@@ -36,6 +36,8 @@ def main():
                     help="skip the on-chip Pallas kernel selftest gate")
     ap.add_argument("--skip-cfg3", action="store_true",
                     help="skip the CFG=3 operating-point measurement")
+    ap.add_argument("--skip-b1", action="store_true",
+                    help="skip the B=1 serving-latency measurement")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of 2 steady-state iterations")
     args = ap.parse_args()
@@ -157,6 +159,42 @@ def main():
         cfg3 = {"audio_s_per_s": round(cfg3_tp, 3), "rtf": round(cfg3_rtf, 5),
                 "batch": 64}
 
+    # B=1 serving latency: the reference's actual operating mode is one
+    # utterance through the webui (reference webui.py:52-133). Per-call
+    # wall latency (NOT amortized) at 10 steps, CFG 3, warm compile cache.
+    b1 = None
+    if not args.skip_b1:
+        text_len = 96
+        rng = np.random.default_rng(0)
+        x1 = jnp.asarray(rng.integers(1, 400, size=(1, text_len)), jnp.int32)
+        xl1 = jnp.full((1,), text_len, dtype=jnp.int32)
+        noise1 = jax.random.normal(jax.random.PRNGKey(1), (1, frames, mel_cfg.n_mels))
+        yref1 = jax.random.normal(jax.random.PRNGKey(2), (1, 300, mel_cfg.n_mels))
+
+        def serve_once():
+            out = synthesise(
+                model, variables, x1, xl1, noise1, yref1,
+                n_timesteps=args.steps, cfg=3.0, solver="euler",
+                max_mel_len=frames, compute_dtype=compute_dtype,
+            )
+            mel = out["decoder_outputs"]
+            if compute_dtype is not None:
+                mel = mel.astype(compute_dtype)
+            return vocos_apply(vvars, mel)
+
+        sync(serve_once())  # compile
+        lat = []
+        for _ in range(10):
+            t0 = time.time()
+            sync(serve_once())
+            lat.append(time.time() - t0)
+        lat.sort()
+        median = lat[len(lat) // 2]
+        audio_s1 = frames * mel_cfg.hop_length / mel_cfg.sample_rate
+        b1 = {"latency_ms": round(median * 1e3, 1),
+              "rtf": round(median / audio_s1, 5),
+              "audio_s": round(audio_s1, 2), "cfg": 3.0}
+
     result = {
         "metric": "audio_seconds_per_s_per_chip_10steps",
         "value": round(throughput, 3),
@@ -177,6 +215,8 @@ def main():
     }
     if cfg3 is not None:
         result["detail"]["cfg3"] = cfg3
+    if b1 is not None:
+        result["detail"]["b1"] = b1
     print(json.dumps(result))
 
 

@@ -35,6 +35,7 @@ def test_audio_io_roundtrip(ref_wav):
     assert load_and_resample_audio("/nonexistent.wav", 44100) is None
 
 
+@pytest.mark.slow
 def test_api_inference_random_weights(ref_wav):
     from stabletts_tpu.api import StableTTSAPI
 

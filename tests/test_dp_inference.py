@@ -2,6 +2,8 @@
 pure function, so sharding the batch over 'data' scales it across chips with
 no code changes; outputs must match the unsharded run exactly."""
 
+import pytest
+
 import numpy as np
 
 import jax
@@ -18,6 +20,7 @@ TINY = ModelConfig(
 )
 
 
+@pytest.mark.slow
 def test_sharded_inference_matches_single_device():
     assert jax.device_count() == 8
     mel_cfg = MelConfig(n_mels=16)

@@ -126,6 +126,7 @@ def _single_process_ground_truth(filelist, num_replicas=2, batch_size=4,
         pytest.param(8, 1, 1, id="8hosts_x_1dev"),
     ],
 )
+@pytest.mark.slow
 def test_multi_process_training_matches_single_process(
     tmp_path, num_procs, local_devices, batch_size
 ):

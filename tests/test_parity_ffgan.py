@@ -58,6 +58,7 @@ def test_ffgan_backbone_parity(pair):
     np.testing.assert_allclose(got.transpose(0, 2, 1), ref_h, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_ffgan_full_parity(pair):
     ref, model, variables = pair
     rng = np.random.default_rng(1)

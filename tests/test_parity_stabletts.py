@@ -223,6 +223,7 @@ def test_synthesise_parity_euler(pair, inputs, cfg):
     _synthesise_parity(pair, inputs, cfg, "euler", n_steps=4, mel_tol=1e-3, mae_tol=5e-4)
 
 
+@pytest.mark.slow
 def test_synthesise_parity_dopri5(pair, inputs):
     """End-to-end synthesise with the adaptive dopri5 solver — the notebook's
     showcased configuration (reference: inference.ipynb cell 2, rtol/atol=1e-5

@@ -27,6 +27,7 @@ from stabletts_tpu.utils.convert import torch_state_dict_to_numpy, torch_to_flax
 N_VOCAB, MEL = 401, 128
 
 
+@pytest.mark.slow
 def test_training_losses_match_reference():
     from ref_loader import load_reference
 

@@ -73,6 +73,7 @@ def test_runs_ahead_of_consumer():
     gen.close()
 
 
+@pytest.mark.slow
 def test_train_prefetch_bit_identical_to_sync(tmp_path):
     """loader_workers=4 must produce bit-identical training to loader_workers=0
     — per-(seed, epoch, rank, batch) PRNG derivation makes batch randomness

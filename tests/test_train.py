@@ -167,6 +167,7 @@ def test_checkpoint_resume(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_remat_matches_no_remat_exactly():
     # ModelConfig.remat wraps each DiT block in jax.checkpoint: identical
     # math and param tree (checkpoint-compatible), less activation memory

@@ -248,6 +248,7 @@ def test_multi_scale_mel_loss_zero_for_identical():
     assert float(multi_scale_mel_loss(x, y, cfgs)) > 0.0
 
 
+@pytest.mark.slow
 def test_gan_train_step_tiny():
     """One full D+G step on a tiny config: finite losses, params update."""
     from stabletts_tpu.train.train_vocos import init_vocos_training
@@ -271,6 +272,7 @@ def test_gan_train_step_tiny():
     assert int(state2.step) == 2
 
 
+@pytest.mark.slow
 def test_gan_train_step_bf16_compute():
     """bf16 mixed-precision GAN step: f32 master params, finite losses, and
     a loss trajectory close to the f32 step (TPU extension; reference trains

@@ -6,6 +6,8 @@ the trimmed input — the invariant that lets one compiled shape serve every
 output length with no per-request recompile (VERDICT r1 #8).
 """
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -23,6 +25,7 @@ def _small_vocos():
     return model, variables, mel_cfg
 
 
+@pytest.mark.slow
 def test_masked_vocos_matches_trimmed():
     model, variables, mel_cfg = _small_vocos()
     rng = np.random.default_rng(0)

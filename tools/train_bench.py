@@ -29,6 +29,8 @@ def main():
                          "prefetch pipeline instead of a resident device batch")
     ap.add_argument("--loader-workers", type=int, default=4)
     ap.add_argument("--prefetch-depth", type=int, default=8)
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of 2 steady-state steps")
     args = ap.parse_args()
 
     import jax
@@ -78,6 +80,12 @@ def main():
     compile_s = time.time() - t0
     print(f"compile: {compile_s:.1f}s, first loss {loss0:.3f}")
 
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            for _ in range(2):
+                state, metrics = step_fn(state, batch, key)
+            float(metrics["loss"])
+
     t0 = time.time()
     for _ in range(args.iters):
         state, metrics = step_fn(state, batch, key)
@@ -102,7 +110,6 @@ def main():
         # collate + H2D prefetch -> train step. Measures whether the input
         # pipeline keeps the chip busy (VERDICT r1 #4: synchronous loading
         # sat on the critical path; target <5% regression vs synthetic).
-        import json
         import tempfile
 
         from stabletts_tpu.data.dataset import StableDataset, collate

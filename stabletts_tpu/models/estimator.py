@@ -22,7 +22,7 @@ class DitWrapper(nn.Module):
 
     @nn.compact
     def __call__(self, x, c, t, mask, deterministic: bool = True):
-        x = FiLMLayer(self.hidden_channels, name="time_fusion")(x, t) * mask[..., None]
+        x = FiLMLayer(self.hidden_channels, name="time_fusion")(x, t) * mask.astype(x.dtype)[..., None]
         return DiTConVBlock(
             self.hidden_channels,
             self.filter_channels,
@@ -102,9 +102,27 @@ class Decoder(nn.Module):
         h = nn.silu(self.cond_proj_2(h))
         return self.cond_proj_4(h)
 
-    def __call__(self, t, x, mask, mu, c, deterministic: bool = True, mu_is_precomputed: bool = False):
+    def __call__(self, t, x, mask, mu, c, deterministic: bool = True, mu_is_precomputed: bool = False,
+                 pad_t: int = 0):
+        """pad_t > 0 pads the time axis to the next multiple of pad_t for the
+        block stack (training: pad_t=128 lets the fused attention kernels run
+        without a per-block pad/slice pair — ~12 pads + 12 slices per step at
+        T=1000 otherwise). Padding happens AFTER the mu prenet, whose convs
+        are unmasked and would otherwise see a changed boundary; the block
+        stack itself is exactly mask-invariant (every block masks its input
+        and both residual contributions), so valid rows are unchanged and the
+        output is sliced back to T."""
         t_emb = self.time_mlp(sinusoidal_pos_emb(t, self.hidden_channels, scale=1000.0))
         h_mu = mu if mu_is_precomputed else self.precompute_mu(mu)
+
+        t_len = x.shape[1]
+        if pad_t:
+            t_padded = -(-t_len // pad_t) * pad_t
+            if t_padded != t_len:
+                pad3 = ((0, 0), (0, t_padded - t_len), (0, 0))
+                x = jnp.pad(x, pad3)
+                h_mu = jnp.pad(h_mu, pad3)
+                mask = jnp.pad(mask, ((0, 0), (0, t_padded - t_len)))
 
         h = jnp.concatenate([x, h_mu], axis=-1)  # (noise, mu) channel order
         h = self.in_proj(h)
@@ -121,5 +139,6 @@ class Decoder(nn.Module):
                     h = self.lsc[idx - n_lsc](h)
             h = block(h, c, t_emb, mask, deterministic)
 
-        m = mask[..., None]
-        return self.final_proj(h * m) * m
+        m = mask.astype(h.dtype)[..., None]
+        out = self.final_proj(h * m) * m
+        return out[:, :t_len]

@@ -62,7 +62,9 @@ class CFMDecoder(nn.Module):
         t3 = t[:, None, None]
         y = (1 - (1 - self.sigma_min) * t3) * noise + t3 * x1
         u = x1 - (1 - self.sigma_min) * noise
-        pred = self.estimator(t, y, mask, mu, c, deterministic)
+        # pad_t=128: run the block stack at a 128-multiple so the fused
+        # attention kernels skip their per-block pad/slice (see Decoder)
+        pred = self.estimator(t, y, mask, mu, c, deterministic, pad_t=128)
         # reductions in f32 (matters under bf16 mixed-precision training)
         sq = ((pred - u).astype(jnp.float32)) ** 2
         loss = jnp.sum(sq) / (jnp.sum(mask.astype(jnp.float32)) * u.shape[-1])

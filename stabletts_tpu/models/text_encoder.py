@@ -47,5 +47,5 @@ class TextEncoder(nn.Module):
                 name=f"encoder_{i}",
             )(h, c, mask, deterministic)
 
-        mu_x = nn.Dense(self.out_channels, name="proj")(h) * mask[..., None]
+        mu_x = nn.Dense(self.out_channels, name="proj")(h) * mask.astype(h.dtype)[..., None]
         return h, mu_x, mask

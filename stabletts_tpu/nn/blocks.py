@@ -303,11 +303,19 @@ class FFN(nn.Module):
 
             x_resid, shift, scale, gate = fused_mods
             return fused_adaln_ffn(x_resid, shift, scale, gate, mask, w1, b1, w2, b2)
-        m = mask[..., None]
-        x = _conv1d_same(x * m, w1, b1)
+        m = mask.astype(x.dtype)[..., None]  # keep bf16 activations bf16
+        # training FFN impl experiment (r5): shifted-dots keeps fwd+bwd
+        # row-major (no conv-grad layouts); measure with
+        # STABLETTS_TRAIN_FFN=dots — see DESIGN.md
+        conv = _conv1d_same
+        if os.environ.get("STABLETTS_TRAIN_FFN") == "dots":
+            from stabletts_tpu.ops.conv import conv1d_same_dots
+
+            conv = conv1d_same_dots
+        x = conv(x * m, w1, b1)
         x = nn.silu(x)
         x = nn.Dropout(self.p_dropout)(x, deterministic=deterministic)
-        x = _conv1d_same(x * m, w2, b2)
+        x = conv(x * m, w2, b2)
         return x * m
 
 
@@ -325,7 +333,7 @@ class DiTConVBlock(nn.Module):
     @nn.compact
     def __call__(self, x, c, mask, deterministic: bool = True):
         """x: [B, T, C], c: [B, gin], mask: [B, T] -> [B, T, C]."""
-        m = mask[..., None]
+        m = mask.astype(x.dtype)[..., None]  # f32 mask would upcast bf16
         x = x * m
 
         h = c
@@ -431,6 +439,28 @@ class DiTConVBlock(nn.Module):
                 fused_mods=(
                     x, shift_mlp[:, 0, :], scale_mlp[:, 0, :], gate_mlp[:, 0, :]
                 ),
+            )
+        elif (
+            not deterministic
+            and os.environ.get("STABLETTS_FFN_TRAIN", "fused") == "fused"
+            and _on_tpu()
+            and x.shape[1] % 8 == 0
+            and self.kernel_size == 3
+            and not self.is_initializing()
+        ):
+            # r5: differentiable fused FFN half with in-kernel dropout
+            # (ops/ffn_pallas_train.py) — XLA's conv-grad fusions run ~3x
+            # off the MXU floor at [32,1024,256<->1024]; measured step
+            # numbers in DESIGN.md. Opt out with STABLETTS_FFN_TRAIN=xla.
+            from stabletts_tpu.ops.ffn_pallas_train import fused_adaln_ffn_train
+
+            fw = mlp(x, mask, deterministic, params_only=True)
+            rng = (
+                self.make_rng("dropout") if self.p_dropout > 0.0 else None
+            )
+            x = fused_adaln_ffn_train(
+                x, shift_mlp[:, 0, :], scale_mlp[:, 0, :], gate_mlp[:, 0, :],
+                mask, *fw, dropout_rate=self.p_dropout, rng=rng,
             )
         else:
             x = x + gate_mlp * mlp(

@@ -109,6 +109,63 @@ def main():
         0.0 if bool(jnp.isfinite(gv).all()) else 1.0, 0.5, failures,
     )
 
+    # ---- differentiable fused FFN half (values + all grads) ----
+    import flax.linen as _fnn
+
+    from stabletts_tpu.ops.ffn_pallas_train import fused_adaln_ffn_train
+
+    bt, tt, cc, ff = 4, 512, 256, 1024
+    xh = jax.random.normal(ks[12], (bt, tt, cc), jnp.float32)
+    maskh = (jnp.arange(tt)[None, :] < jnp.asarray([tt, 400, 300, 100])[:, None]).astype(jnp.float32)
+    modp = [0.1 * jax.random.normal(jax.random.fold_in(ks[13], i), (bt, cc)) for i in range(3)]
+    w1h = 0.05 * jax.random.normal(ks[14], (3, cc, ff), jnp.float32)
+    b1h = 0.05 * jax.random.normal(ks[15], (ff,), jnp.float32)
+    w2h = 0.05 * jax.random.normal(jax.random.fold_in(ks[14], 1), (3, ff, cc), jnp.float32)
+    b2h = 0.05 * jax.random.normal(jax.random.fold_in(ks[15], 1), (cc,), jnp.float32)
+
+    def _ffn_oracle(x_, sh, sc, ga, w1_, b1_, w2_, b2_):
+        m = maskh[..., None]
+        hh = _fnn.LayerNorm(use_scale=False, use_bias=False, epsilon=1e-5).apply({}, x_)
+        hh = hh * (1 + sc[:, None, :]) + sh[:, None, :]
+
+        def conv(a, w, bias):
+            return jax.lax.conv_general_dilated(
+                a, w, (1,), "SAME", dimension_numbers=("NHC", "HIO", "NHC")
+            ) + bias
+
+        yy = _fnn.silu(conv(hh * m, w1_, b1_))
+        zz = conv(yy * m, w2_, b2_) * m
+        return x_ + ga[:, None, :] * zz
+
+    cot = jax.random.normal(jax.random.fold_in(ks[12], 9), xh.shape)
+    args_h = (xh, *modp, w1h, b1h, w2h, b2h)
+    g_ref = jax.grad(lambda *a: jnp.sum(_ffn_oracle(*a) * cot), argnums=tuple(range(8)))(*args_h)
+    g_got = jax.grad(
+        lambda x_, sh, sc, ga, w1_, b1_, w2_, b2_: jnp.sum(
+            fused_adaln_ffn_train(x_, sh, sc, ga, maskh, w1_, b1_, w2_, b2_) * cot
+        ),
+        argnums=tuple(range(8)),
+    )(*args_h)
+    for name, a, b_ in zip(
+        ("dx", "dshift", "dscale", "dgate", "dw1", "db1", "dw2", "db2"),
+        g_ref, g_got,
+    ):
+        scale = float(jnp.abs(a).max()) or 1.0
+        err = float(jnp.abs(a - b_).max()) / scale
+        _report(f"train_ffn grad {name} (rel)", err, 2e-2, failures)
+
+    def ffn_drop_loss(x_):
+        return jnp.sum(fused_adaln_ffn_train(
+            x_, *modp, maskh, w1h, b1h, w2h, b2h,
+            dropout_rate=0.1, rng=jax.random.PRNGKey(11),
+        ))
+
+    dval, dgrad = jax.value_and_grad(ffn_drop_loss)(xh)
+    _report("train_ffn dropout fwd finite",
+            0.0 if np.isfinite(float(dval)) else 1.0, 0.5, failures)
+    _report("train_ffn dropout bwd finite",
+            0.0 if bool(jnp.isfinite(dgrad).all()) else 1.0, 0.5, failures)
+
     # ---- MAS pallas vs lax.scan wavefront ----
     from stabletts_tpu.ops.mas import maximum_path
     from stabletts_tpu.ops.mas_pallas import maximum_path_pallas

@@ -118,6 +118,9 @@ _PARTICLES = [
     "さ", "し",
 ]
 _PARTICLE_READING = {"は": "わ", "へ": "え"}
+# polite-auxiliary nucleus position relative to the stem's last mora
+# (1 = the aux's first mora): ま↓す, ま↓した, ませ↓ん, ましょ↓う, でしょ↓う
+_AUX_ACCENT = {"ます": 1, "ました": 1, "ません": 2, "でしょう": 2}
 
 _DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 _word_dict: Optional[Dict[str, Tuple[str, int]]] = None
@@ -478,6 +481,13 @@ def _segment(sentence: str) -> List[Tuple[List[str], int]]:
                 reading = "".join(
                     _PARTICLE_READING.get(c, c) for c in matched_particle
                 )
+                # polite auxiliaries carry their own nucleus regardless of
+                # the stem's accent (きま↓した, ませ↓ん, でしょ↓う —
+                # Open JTalk derives this from the aux's accent entry);
+                # only fires when the conjugated form was not already a
+                # dictionary row with its accent baked in
+                if matched_particle in _AUX_ACCENT and current:
+                    current_accent = len(current) + _AUX_ACCENT[matched_particle]
                 current.extend(kana_to_moras(reading))
                 comp_elems = None
                 i += len(matched_particle)

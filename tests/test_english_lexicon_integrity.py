@@ -36,7 +36,7 @@ CLOSURE_ALLOWLIST = {
     # lexicalized participial adjectives / fossil forms
     "ashamed", "belated", "beloved", "cunning", "darling", "dejected",
     "disgruntled", "hackneyed", "impending", "indebted", "inexperienced",
-    "jagged", "lopsided", "naked", "sacred", "wretched", "foreboding",
+    "jagged", "lopsided", "naked", "sacred", "wretched", "foreboding", "gnarled",
     "grueling", "oncoming", "ongoing", "outgoing", "pending", "upcoming",
     # -ing nouns without a verbal base (or whose base is not lexical)
     "awning", "ceiling", "inkling", "lightning", "morning",

@@ -30,6 +30,8 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from stabletts_tpu.text.english import (  # noqa: E402
+    _insert_stress,
+    _split_phones,
     _suffix_ed,
     _suffix_s,
 )
@@ -41,6 +43,8 @@ LEXICON = os.path.join(_DATA, "en_lexicon.tsv")
 OUT = os.path.join(_DATA, "en_lexicon_inflect.tsv")
 VERBS = os.path.join(_DATA, "en_verbs.txt")
 NOUNS = os.path.join(_DATA, "en_nouns.txt")
+VERBS2 = os.path.join(_DATA, "en_verbs2.txt")
+NOUNS2 = os.path.join(_DATA, "en_nouns2.txt")
 
 # -er/-ant/-ary/-ery deliberately absent: they catch adjectives (meager,
 # scant, sedimentary, very) whose "plurals" are junk
@@ -170,10 +174,18 @@ def generate():
     absent = []
 
     def emit(spelling, pron):
-        if spelling not in lex:
-            out.setdefault(spelling, pron)
+        if spelling in lex:
+            return
+        # an unmarked monosyllable base can derive a polysyllable (ache ->
+        # aching): eng_to_ipa always stresses polysyllables, so mark the
+        # base syllable (same rule the runtime applies in ipa_convert)
+        if "ˈ" not in pron and "ˌ" not in pron:
+            phones = _split_phones(pron)
+            if sum(1 for _, v in phones if v) >= 2:
+                pron = "".join(p for p, _ in _insert_stress(phones, 0, "ˈ"))
+        out.setdefault(spelling, pron)
 
-    for v in load_list(VERBS):
+    for v in load_list(VERBS) + load_list(VERBS2):
         p = lex.get(v)
         if p is None:
             absent.append(v)
@@ -182,7 +194,7 @@ def generate():
         emit(spell_ing(v, p), p + "ɪŋ")
         if v not in IRREGULAR:
             emit(spell_ed(v, p), _suffix_ed(p))
-    for n in load_list(NOUNS):
+    for n in load_list(NOUNS) + load_list(NOUNS2):
         p = lex.get(n)
         if p is None:
             absent.append(n)

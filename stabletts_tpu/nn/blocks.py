@@ -413,6 +413,29 @@ class DiTConVBlock(nn.Module):
                 x, mask, deterministic,
                 fused_pre=(x, shift_msa[:, 0, :], scale_msa[:, 0, :], gate_msa[:, 0, :]),
             )
+        elif (
+            not deterministic
+            and os.environ.get("STABLETTS_ATTN_TRAIN", "fused") == "fused"
+            and _on_tpu()
+            and x.shape[1] % 8 == 0
+            and not self.is_initializing()
+        ):
+            # r5: differentiable fused attention half (custom VJP, in-kernel
+            # dropout, cross-batch projection-grad accumulation) — with the
+            # fused FFN half below, both block halves run as single Pallas
+            # kernels in training too (ops/dit_attention_pallas_train.py).
+            # Opt out with STABLETTS_ATTN_TRAIN=xla.
+            from stabletts_tpu.ops.dit_attention_pallas_train import (
+                fused_dit_attention_train,
+            )
+
+            aw = attn(x, mask, deterministic, params_only=True)
+            rng = self.make_rng("dropout") if self.p_dropout > 0.0 else None
+            x = fused_dit_attention_train(
+                x, shift_msa[:, 0, :], scale_msa[:, 0, :], gate_msa[:, 0, :],
+                mask, *aw, n_heads=self.num_heads,
+                dropout_rate=self.p_dropout, rng=rng,
+            )
         else:
             x = x + gate_msa * attn(
                 _modulate(norm1(x), shift_msa, scale_msa), mask, deterministic

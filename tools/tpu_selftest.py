@@ -166,6 +166,60 @@ def main():
     _report("train_ffn dropout bwd finite",
             0.0 if bool(jnp.isfinite(dgrad).all()) else 1.0, 0.5, failures)
 
+    # ---- differentiable fused ATTENTION half (values + all grads) ----
+    import math as _math
+
+    from stabletts_tpu.nn.blocks import apply_rope
+    from stabletts_tpu.ops.dit_attention_pallas_train import (
+        fused_dit_attention_train,
+    )
+    from stabletts_tpu.ops.mask import attn_bias_from_mask as _abm
+
+    ha, da = 4, cc // 4
+    wsa = [(1.0 / cc ** 0.5) * jax.random.normal(jax.random.fold_in(ks[14], 10 + i), (cc, cc)) for i in range(4)]
+    bsa = [0.05 * jax.random.normal(jax.random.fold_in(ks[15], 10 + i), (cc,)) for i in range(4)]
+
+    def _attn_oracle(x_, sh, sc, ga, wq_, bq_, wk_, bk_, wv_, bv_, wo_, bo_):
+        hh_ = _fnn.LayerNorm(use_scale=False, use_bias=False, epsilon=1e-5).apply({}, x_)
+        hh_ = hh_ * (1 + sc[:, None, :]) + sh[:, None, :]
+        qq = apply_rope((hh_ @ wq_ + bq_).reshape(bt, tt, ha, da), da // 2)
+        kk = apply_rope((hh_ @ wk_ + bk_).reshape(bt, tt, ha, da), da // 2)
+        vv = (hh_ @ wv_ + bv_).reshape(bt, tt, ha, da)
+        lo = jnp.einsum("bqhd,bkhd->bhqk", qq, kk) / _math.sqrt(da)
+        lo = lo + _abm(maskh, dtype=lo.dtype)
+        at = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(lo, -1), vv)
+        return x_ + ga[:, None, :] * (at.reshape(bt, tt, cc) @ wo_ + bo_) * maskh[..., None]
+
+    args_a = (xh, *modp, *[p for pair in zip(wsa, bsa) for p in pair])
+    g_ref = jax.grad(lambda *a: jnp.sum(_attn_oracle(*a) * cot),
+                     argnums=tuple(range(12)))(*args_a)
+    g_got = jax.grad(
+        lambda x_, sh, sc, ga, *w: jnp.sum(
+            fused_dit_attention_train(x_, sh, sc, ga, maskh, *w, n_heads=ha) * cot
+        ),
+        argnums=tuple(range(12)),
+    )(*args_a)
+    for name, a, b_ in zip(
+        ("dx", "dshift", "dscale", "dgate", "dwq", "dbq", "dwk", "dbk",
+         "dwv", "dbv", "dwo", "dbo"),
+        g_ref, g_got,
+    ):
+        scale = float(jnp.abs(a).max()) or 1.0
+        err = float(jnp.abs(a - b_).max()) / scale
+        _report(f"train_attn_half grad {name} (rel)", err, 2e-2, failures)
+
+    def attn_drop_loss(x_):
+        return jnp.sum(fused_dit_attention_train(
+            x_, *modp, maskh, *[p for pair in zip(wsa, bsa) for p in pair],
+            n_heads=ha, dropout_rate=0.1, rng=jax.random.PRNGKey(13),
+        ))
+
+    aval, agrad = jax.value_and_grad(attn_drop_loss)(xh)
+    _report("train_attn_half dropout fwd finite",
+            0.0 if np.isfinite(float(aval)) else 1.0, 0.5, failures)
+    _report("train_attn_half dropout bwd finite",
+            0.0 if bool(jnp.isfinite(agrad).all()) else 1.0, 0.5, failures)
+
     # ---- MAS pallas vs lax.scan wavefront ----
     from stabletts_tpu.ops.mas import maximum_path
     from stabletts_tpu.ops.mas_pallas import maximum_path_pallas

@@ -4,9 +4,17 @@ and long skip connections (reference: models/estimator.py:8-137)."""
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
-from stabletts_tpu.nn.blocks import DiTConVBlock, FiLMLayer, TimestepEmbedding, sinusoidal_pos_emb
+from stabletts_tpu.nn.blocks import (
+    DiTConVBlock,
+    FiLMLayer,
+    TimestepEmbedding,
+    _ConvParams,
+    _conv1d_same,
+    sinusoidal_pos_emb,
+)
 
 
 class DitWrapper(nn.Module):
@@ -69,9 +77,17 @@ class Decoder(nn.Module):
                 f"n_layers must be even when use_lsc=True (got {self.n_layers})"
             )
         self.time_mlp = TimestepEmbedding(self.hidden_channels, self.filter_channels)
-        self.cond_proj_0 = nn.Conv(self.filter_channels, (self.kernel_size,), padding="SAME")
-        self.cond_proj_2 = nn.Conv(self.filter_channels, (self.kernel_size,), padding="SAME")
-        self.cond_proj_4 = nn.Conv(self.hidden_channels, (self.kernel_size,), padding="SAME")
+        # bare conv params (nn.Conv-identical tree) so precompute_mu can
+        # route them through either lax.conv or the fused training kernel
+        self.cond_proj_0 = _ConvParams(
+            (self.kernel_size, self.cond_channels, self.filter_channels)
+        )
+        self.cond_proj_2 = _ConvParams(
+            (self.kernel_size, self.filter_channels, self.filter_channels)
+        )
+        self.cond_proj_4 = _ConvParams(
+            (self.kernel_size, self.filter_channels, self.hidden_channels)
+        )
         self.in_proj = nn.Dense(self.hidden_channels)
         self.final_proj = nn.Dense(self.out_channels)
         n_lsc = self.n_layers // 2 if self.use_lsc else 0
@@ -95,12 +111,37 @@ class Decoder(nn.Module):
             for _ in range(self.n_layers)
         ]
 
-    def precompute_mu(self, mu):
+    def precompute_mu(self, mu, deterministic: bool = True):
         """3x conv + SiLU prenet on the aligned encoder output
-        (reference: estimator.py:83-89)."""
-        h = nn.silu(self.cond_proj_0(mu))
-        h = nn.silu(self.cond_proj_2(h))
-        return self.cond_proj_4(h)
+        (reference: estimator.py:83-89). Training on TPU runs the whole
+        chain as one custom-VJP Pallas kernel (ops/prenet_pallas_train.py)
+        when STABLETTS_PRENET_TRAIN=fused — after round 5 fused the DiT
+        halves, the prenet's [3,1024,1024] conv grads were the largest
+        XLA-side item left in the step profile, but the fused kernel
+        MEASURED SLOWER (67.5 vs 65.1 ms fp32, 65.6 vs 61.6 bf16): with
+        width-1024 channels XLA's batched [B*T,1024]x[1024,1024] conv
+        matmuls already run near peak, and the per-batch-element grid
+        serialization costs more than the removed layout fusions. Kept as
+        an opt-in documented negative (DESIGN.md)."""
+        import os
+
+        wa, ba = self.cond_proj_0()
+        wb, bb = self.cond_proj_2()
+        wc, bc = self.cond_proj_4()
+        if (
+            not deterministic
+            and os.environ.get("STABLETTS_PRENET_TRAIN", "xla") == "fused"
+            and jax.devices()[0].platform == "tpu"
+            and mu.shape[1] % 8 == 0
+            and self.kernel_size == 3
+            and not self.is_initializing()
+        ):
+            from stabletts_tpu.ops.prenet_pallas_train import fused_prenet_train
+
+            return fused_prenet_train(mu, wa, ba, wb, bb, wc, bc)
+        h = nn.silu(_conv1d_same(mu, wa, ba))
+        h = nn.silu(_conv1d_same(h, wb, bb))
+        return _conv1d_same(h, wc, bc)
 
     def __call__(self, t, x, mask, mu, c, deterministic: bool = True, mu_is_precomputed: bool = False,
                  pad_t: int = 0):
@@ -113,7 +154,7 @@ class Decoder(nn.Module):
         and both residual contributions), so valid rows are unchanged and the
         output is sliced back to T."""
         t_emb = self.time_mlp(sinusoidal_pos_emb(t, self.hidden_channels, scale=1000.0))
-        h_mu = mu if mu_is_precomputed else self.precompute_mu(mu)
+        h_mu = mu if mu_is_precomputed else self.precompute_mu(mu, deterministic)
 
         t_len = x.shape[1]
         if pad_t:

@@ -110,6 +110,7 @@ _COUNTERS = {
            8: "はっぱく", 10: "じゅっぱく"},
     "倍": {"base": "ばい"},
     "割": {"base": "わり"},
+    "畳": {"base": "じょう", 1: "いちじょう", 8: "はちじょう", 10: "じゅうじょう"},
     "票": {"base": "ひょう", 1: "いっぴょう", 3: "さんびょう",
            6: "ろっぴょう", 8: "はっぴょう", 10: "じゅっぴょう"},
     "点": {"base": "てん", 1: "いってん", 8: "はってん", 10: "じゅってん"},
@@ -191,7 +192,7 @@ _FULLWIDTH = str.maketrans("０１２３４５６７８９．，", "0123456789.,
 _NUM_COUNTER_RE = re.compile(
     r"(\d[\d,]*)(?:(\.\d+))?([万億兆]?)"
     r"(時間|週間|年間|[かヶカ]月|[かヶ]所|箇所|日間|"
-    r"[年月日時分秒円人個本匹杯歳才回階冊枚台度番号名件軒頭羽歩泊倍点割票つ]?)"
+    r"[年月日時分秒円人個本匹杯歳才回階冊枚台度番号名件軒頭羽歩泊倍点割票畳つ]?)"
 )
 
 _MAGNITUDE = {"万": 10000, "億": 10 ** 8, "兆": 10 ** 12}
@@ -221,7 +222,7 @@ _KANJI_DIGITS = {"〇": 0, "一": 1, "二": 2, "三": 3, "四": 4,
 _KANJI_UNITS = {"十": 10, "百": 100, "千": 1000}
 _KANJI_NUM_RE = re.compile(
     r"([〇一二三四五六七八九十百千]+[万億兆]?)"
-    r"(?=[年月日時分秒円人個本匹杯歳才回階冊枚台度番号名件軒頭羽歩泊倍点割票つ週かヶカ箇])"
+    r"(?=[年月日時分秒円人個本匹杯歳才回階冊枚台度番号名件軒頭羽歩泊倍点割票畳つ週かヶカ箇])"
 )
 # lexicalized readings that are NOT digit+counter (十分 じゅうぶん "enough",
 # 一日 いちにち "one day/all day" — the counter table would read ついたち)

@@ -262,6 +262,9 @@ def test_decade_euphony_and_duration_counters():
     assert v("50分") == "ゴジュップン"
     assert v("110分") == "ヒャクジュップン"
     assert v("24時間") == "ニジュウヨジカン"
+    assert v("6畳") == "ロクジョウ"
+    assert v("二割") == "ニワリ"
+    assert v("百票") == "ヒャクヒョウ"
     assert v("3週間") == "サンシュウカン"
     assert v("1週間") == "イッシュウカン"
     assert v("6か月") == "ロッカゲツ"

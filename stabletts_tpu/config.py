@@ -82,6 +82,12 @@ class TrainConfig:
     # loader_workers=0 disables prefetch (synchronous loading, for debugging)
     loader_workers: int = 4
     prefetch_depth: int = 8
+    # ship mel/ref-mel batches to the device as float16 (half the H2D
+    # bytes; widened to f32/bf16 on-device at step entry). Useful when the
+    # host->device link is the bottleneck — measured on the tunneled dev
+    # backend: 467 -> 273 ms/step at B=32 (see DESIGN.md "Input-pipeline
+    # H2D"); inputs are quantized to f16 (~1e-3 relative), so default off.
+    transfer_dtype: str = "float32"  # or "float16"
 
 
 @dataclass(frozen=True)
@@ -120,6 +126,12 @@ class VocosTrainConfig:
     compute_dtype: str = "float32"  # or "bfloat16"
     loader_workers: int = 4
     prefetch_depth: int = 8
+    # ship mel/ref-mel batches to the device as float16 (half the H2D
+    # bytes; widened to f32/bf16 on-device at step entry). Useful when the
+    # host->device link is the bottleneck — measured on the tunneled dev
+    # backend: 467 -> 273 ms/step at B=32 (see DESIGN.md "Input-pipeline
+    # H2D"); inputs are quantized to f16 (~1e-3 relative), so default off.
+    transfer_dtype: str = "float32"  # or "float16"
 
 
 def asdict(cfg) -> dict:

@@ -59,7 +59,9 @@ def make_train_step(
                 params = cast_tree(params, compute_dtype)
                 yy, zz = y.astype(compute_dtype), z.astype(compute_dtype)
             else:
-                yy, zz = y, z
+                # widen on-device: a no-op for f32 batches, and the landing
+                # point for float16-shipped mels (TrainConfig.transfer_dtype)
+                yy, zz = y.astype(jnp.float32), z.astype(jnp.float32)
             dur, diff, prior, _ = model.apply(
                 {"params": params},
                 x, x_lengths, yy, y_lengths, zz, z_lengths, False,
@@ -149,7 +151,15 @@ def train(
                 dataset, indices, sampler.bucket_mel_len(bucket),
                 train_cfg.max_text_len, mel_cfg.n_mels, (train_cfg.seed, epoch),
             )
-            return mesh_lib.shard_batch(mesh, batch.as_tuple())
+            tup = batch.as_tuple()
+            if train_cfg.transfer_dtype == "float16":
+                # halve H2D bytes; widened back at step entry (see
+                # make_train_step). Quantizes mel inputs to f16.
+                tup = tuple(
+                    a.astype(np.float16) if a.dtype == np.float32 else a
+                    for a in tup
+                )
+            return mesh_lib.shard_batch(mesh, tup)
 
         if train_cfg.loader_workers > 0:
             batches = prefetch(

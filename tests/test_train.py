@@ -195,3 +195,45 @@ def test_remat_matches_no_remat_exactly():
     np.testing.assert_allclose(l0, l1, rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(s0), jax.tree_util.tree_leaves(s1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_transfer_dtype_float16_close_to_f32(tmp_path):
+    """TrainConfig.transfer_dtype='float16' ships mels at half width and
+    widens at step entry; one step's losses must track the f32-shipped
+    step within f16 quantization error."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stabletts_tpu.config import MelConfig, TrainConfig
+    from stabletts_tpu.models import build_stabletts, init_stabletts_params
+    from stabletts_tpu.train.state import TrainState
+    from stabletts_tpu.train.train_tts import make_optimizer, make_train_step
+
+    mel_cfg = MelConfig()
+    model = build_stabletts(_tiny_cfg()) if "_tiny_cfg" in globals() else build_stabletts()
+    variables = init_stabletts_params(model, jax.random.PRNGKey(0))
+    tx_opt = make_optimizer(TrainConfig(), total_steps=100)
+    step = jax.jit(make_train_step(model, tx_opt, None))
+    rng = np.random.default_rng(0)
+    b, ty, tx, tz = 2, 64, 24, 24
+    batch32 = (
+        jnp.asarray(rng.integers(1, 400, (b, tx)), jnp.int32),
+        jnp.full((b,), tx, jnp.int32),
+        jnp.asarray(rng.standard_normal((b, ty, mel_cfg.n_mels)), jnp.float32),
+        jnp.full((b,), ty, jnp.int32),
+        jnp.asarray(rng.standard_normal((b, tz, mel_cfg.n_mels)), jnp.float32),
+        jnp.full((b,), tz, jnp.int32),
+    )
+    batch16 = tuple(
+        a.astype(jnp.float16) if a.dtype == jnp.float32 else a for a in batch32
+    )
+    key = jax.random.PRNGKey(5)
+    state = TrainState(0, variables["params"], tx_opt.init(variables["params"]))
+    _, m32 = step(state, batch32, key)
+    state = TrainState(0, variables["params"], tx_opt.init(variables["params"]))
+    _, m16 = step(state, batch16, key)
+    assert np.isfinite(float(m16["loss"]))
+    assert abs(float(m16["loss"]) - float(m32["loss"])) < 0.02 * abs(float(m32["loss"]))

@@ -23,9 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     ap = argparse.ArgumentParser()
-    # batch 64 measured best on v5e: 2971 audio-s/s vs 2851 at B=32 (B=96/128
-    # hit pathological multi-minute compiles on the tunneled backend)
-    ap.add_argument("--batch", type=int, default=64)
+    # batch sweep r5 (whole-block kernel + fused halves): 64: 3612, 96: 3729,
+    # 128: 3770, 160: 3801, 192: 3866, 256: 3873 audio-s/s — the old B=64
+    # optimum (and the round-2 B>=96 compile pathology) are gone; 192 is the
+    # knee of the curve. Compile ~33 s cold, cached thereafter.
+    ap.add_argument("--batch", type=int, default=192)
     ap.add_argument("--frames", type=int, default=1000, help="mel frames per utterance (1000 = 11.6 s)")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--cfg", type=float, default=1.0)
@@ -151,13 +153,12 @@ def main():
     # inference.ipynb): tracked every round alongside the CFG=1 headline
     cfg3 = None
     if not args.skip_cfg3 and args.cfg != 3.0:
-        # B=64 measured best (round-4 sweep: 1820 @ B=32, 1881 @ B=48,
-        # 1915 @ B=64 audio-s/s) — the CFG doubling makes the effective
-        # estimator batch 128, which compiles fine even though a plain
-        # CFG=1 B=128 run does not (see --batch help)
-        cfg3_tp, cfg3_rtf, _, _ = measure(64, 3.0)
+        # r5 sweep at the fused-kernel configuration: 1984 @ B=64,
+        # 2052 @ B=96, 2049 @ B=128 — B=96 (effective estimator batch 192)
+        # is the optimum
+        cfg3_tp, cfg3_rtf, _, _ = measure(96, 3.0)
         cfg3 = {"audio_s_per_s": round(cfg3_tp, 3), "rtf": round(cfg3_rtf, 5),
-                "batch": 64}
+                "batch": 96}
 
     # B=1 serving latency: the reference's actual operating mode is one
     # utterance through the webui (reference webui.py:52-133). Per-call

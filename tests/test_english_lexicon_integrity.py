@@ -48,7 +48,7 @@ CLOSURE_ALLOWLIST = {
     "corps", "diabetes", "eaves", "forceps", "gallows", "galoshes",
     "goggles", "herpes", "hypotheses", "measles", "molasses", "mumps",
     "rabies", "scissors", "series", "shambles", "schnapps", "species",
-    "suds", "tongs", "trousers", "tweezers", "vertices", "wives",
+    "suds", "tongs", "trousers", "tweezers", "vertices", "wives", "innards",
     "microservices", "telecommunications", "pilates",
     # reflexive pronouns / adverbs / function words
     "always", "during", "nothing", "nowadays", "oops", "ourselves",

@@ -38,6 +38,15 @@ _abbreviations = [
         ("esq", "esquire"), ("ltd", "limited"), ("col", "colonel"), ("ft", "fort"),
         # meridiem markers: 'a.m.' must not read its 'a' as the article
         (r"a\.m", "ay em"), (r"p\.m", "pee em"),
+        # month abbreviations + mount (extension, same spirit as the % and
+        # #N verbalizations: the bare letters would otherwise read as a
+        # nonsense word — 'dec.' as 'deck'); weekday abbreviations are NOT
+        # expanded ('we sat.' must not become 'we saturday')
+        ("jan", "january"), ("feb", "february"), ("mar", "march"),
+        ("apr", "april"), ("jun", "june"), ("jul", "july"),
+        ("aug", "august"), ("sept", "september"), ("sep", "september"),
+        ("oct", "october"), ("nov", "november"), ("dec", "december"),
+        ("mt", "mount"),
     ]
 ]
 

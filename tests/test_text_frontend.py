@@ -194,3 +194,17 @@ def test_mandarin_percent_verbalized():
     assert "%" not in out
     # 百分之二十五 prefix: bai3 fen1 zhi1 er4 shi2 wu3
     assert out.startswith("b3 a03 I03 f1 e01 N01 zh1 ir1 er4")
+
+
+def test_english_month_abbreviations_and_acronyms():
+    from stabletts_tpu.text.english import english_to_ipa
+
+    out = english_to_ipa("Please RSVP by Dec. 5th.")
+    assert "dɪˈsɛmbər" in out
+    out = english_to_ipa("Mt. Everest in Aug.")
+    assert "maʊnt" in out and "ˈɔgəst" in out
+    # weekday-like words must NOT be expanded
+    out = english_to_ipa("We sat. Then we ran.")
+    assert "sæt" in out
+    out = english_to_ipa("CSS and the UI")
+    assert "ˌsiɛsˈɛs" in out and "ˌjuˈaɪ" in out

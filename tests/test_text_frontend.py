@@ -208,3 +208,23 @@ def test_english_month_abbreviations_and_acronyms():
     assert "sæt" in out
     out = english_to_ipa("CSS and the UI")
     assert "ˌsiɛsˈɛs" in out and "ˌjuˈaɪ" in out
+
+
+def test_mandarin_polyphones():
+    """Context-dependent readings via jieba segmentation + the phrase dict
+    (reference: text/mandarin.py custom pypinyin dicts): 行 hang2/xing2,
+    长 chang2/zhang3, 重 chong2/zhong4, 乐 yue4/le4."""
+    from stabletts_tpu.text.pinyin import lazy_pinyin_tone3
+
+    def flat(t):
+        return lazy_pinyin_tone3(t)
+
+    assert flat("银行") == ["yin2", "hang2"]
+    assert flat("行走") == ["xing2", "zou3"]
+    assert flat("行长") == ["hang2", "zhang3"]
+    assert flat("长江") == ["chang2", "jiang1"]
+    assert flat("重庆") == ["chong2", "qing4"]
+    assert flat("重要") == ["zhong4", "yao4"]
+    assert flat("重新") == ["chong2", "xin1"]
+    assert flat("音乐") == ["yin1", "yue4"]
+    assert flat("快乐") == ["kuai4", "le4"]

@@ -17,6 +17,11 @@ _KANA = r"ぁ-ヿ"
 _SPAN = re.compile(
     rf"(?P<ja>[{_KANA}]+[{_HAN}{_KANA}]*)|(?P<zh>[{_HAN}]+)|(?P<en>[A-Za-z][A-Za-z' ]*)"
 )
+# sentence-context classification: a han-only run inside a sentence that
+# carries kana is Japanese (今日の会議 must not read 今日 as jin1 ri4) —
+# kanji-only spans are only Chinese when their whole sentence is kana-free
+_SENT_SPLIT = re.compile(r"(?<=[。．.!?！?\n])")
+_KANA_RE = re.compile(rf"[{_KANA}]")
 
 
 def detect_language(text: str) -> str:
@@ -67,12 +72,28 @@ def auto_g2p(text: str) -> List[str]:
             # ascii punctuation tables
             phones.extend(chinese_to_cnm3(gap))
 
+    # sentence boundaries for the kana-context rule
+    sent_has_kana = []
+    edge = 0
+    for sent in _SENT_SPLIT.split(text):
+        sent_has_kana.append((edge, edge + len(sent), bool(_KANA_RE.search(sent))))
+        edge += len(sent)
+
+    def span_lang(m) -> str:
+        lang = m.lastgroup
+        if lang == "zh":
+            for lo, hi, has_kana in sent_has_kana:
+                if lo <= m.start() < hi:
+                    return "ja" if has_kana else "zh"
+        return lang
+
     phones: List[str] = []
     pos = 0
+    langs = [span_lang(m) for m in matches]
     for i, m in enumerate(matches):
-        prev_lang = matches[i - 1].lastgroup if i else None
-        route_gap(text[pos : m.start()], prev_lang, m.lastgroup)
-        phones.extend(g2p[m.lastgroup](m.group()))
+        prev_lang = langs[i - 1] if i else None
+        route_gap(text[pos : m.start()], prev_lang, langs[i])
+        phones.extend(g2p[langs[i]](m.group()))
         pos = m.end()
-    route_gap(text[pos:], matches[-1].lastgroup if matches else None, None)
+    route_gap(text[pos:], langs[-1] if matches else None, None)
     return phones

@@ -228,3 +228,17 @@ def test_mandarin_polyphones():
     assert flat("重新") == ["chong2", "xin1"]
     assert flat("音乐") == ["yin1", "yue4"]
     assert flat("快乐") == ["kuai4", "le4"]
+
+
+def test_router_sentence_context_for_kanji():
+    """A kanji-only span inside a kana-bearing sentence routes Japanese
+    (今日の must not read 今日 as Mandarin jin1 ri4); kana-free sentences
+    keep routing their han runs to Chinese."""
+    from stabletts_tpu.text.router import auto_g2p
+
+    out = "".join(auto_g2p("今日の会議はZoomで行います。"))
+    assert out.startswith("kjo")  # きょう, not jin1 ri4
+    assert "zum" in out  # Zoom through the English g2p
+    out2 = "".join(auto_g2p("你好。こんにちは。"))
+    assert out2.startswith("n3")  # zh sentence stays Chinese
+    assert "konn^i" in out2.replace("↑", "").replace("↓", "")

@@ -67,6 +67,9 @@ _KANA_MAP = {
     "うぃ": "wi", "うぇ": "we", "うぉ": "wo",
     "てぃ": "ti", "でぃ": "di", "とぅ": "tu", "どぅ": "du",
     "しぇ": "she", "ちぇ": "che", "じぇ": "je",
+    "ゔぁ": "va", "ゔぃ": "vi", "ゔぇ": "ve", "ゔぉ": "vo", "ゔゅ": "vyu",
+    "つぁ": "tsa", "つぃ": "tsi", "つぇ": "tse", "つぉ": "tso",
+    "いぇ": "ye", "きぇ": "kye", "にぇ": "nye", "ひぇ": "hye",
     # small vowels standalone
     "ぁ": "a", "ぃ": "i", "ぅ": "u", "ぇ": "e", "ぉ": "o",
 }

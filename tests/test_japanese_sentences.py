@@ -146,3 +146,37 @@ def test_sentence_pronunciation(text, expected):
         warnings.simplefilter("error")  # no unknown-kanji skips in sentences
         got = japanese_to_romaji_with_accent(text)
     assert got == expected
+
+
+NEWS_COVERAGE = [
+    # round-5 coverage sweeps: every sentence must phonemize with ZERO
+    # unknown-kanji warnings (readings spot-verified when added)
+    "新型コロナウイルスの感染拡大を受けて、政府は緊急事態宣言を発令した。",
+    "気象庁によると、今夜から明朝にかけて大雪の恐れがあるという。",
+    "国際宇宙ステーションに滞在する宇宙飛行士が実験を行った。",
+    "最高裁判所は上告を棄却する判決を下した。",
+    "東京株式市場では半導体関連株が値上がりした。",
+    "環境省は温室効果ガスの削減目標を引き上げる方針だ。",
+    "日銀は金融緩和政策を維持することを決定した。",
+    "世界遺産に登録された神社仏閣を訪れる観光客が増加している。",
+    "人工知能を活用した自動翻訳の精度が向上している。",
+    "憲法改正をめぐる議論が国会で続いている。",
+    "再生可能エネルギーの導入が加速している。",
+    "少子高齢化対策として子育て支援が拡充された。",
+    "受験生は合格発表を緊張した面持ちで待っていた。",
+    "伝統工芸品の職人が後継者不足に悩んでいる。",
+    "図書館の蔵書がデジタル化され、閲覧が容易になった。",
+    "国境の長いトンネルを抜けると雪国であった。",
+    "祇園精舎の鐘の声、諸行無常の響きあり。",
+    "吾輩は猫である。名前はまだ無い。",
+    "琵琶湖は日本最大の湖で、近畿地方の水源となっている。",
+    "太平洋側では晴れ、日本海側では雪が降るでしょう。",
+]
+
+
+def test_news_register_coverage_warning_free():
+    for s in NEWS_COVERAGE:
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            out = japanese_to_romaji_with_accent(s)
+        assert len(out) > 10, s

@@ -584,3 +584,29 @@ def test_times_currency_acronyms_and_meridiem():
 def test_ampersand_and_at_sign_verbalized():
     assert english_to_ipa("rock & roll") == "rɑk ænd roʊl"
     assert english_to_ipa("me@example.com") == "mi æt ɪgˈzæmpəl. kɑm"
+
+
+ROUND5_PROSE = """
+The central bank raised interest rates by a quarter of a percentage point.
+Researchers developed a vaccine candidate with promising clinical results.
+Negotiators reached a provisional agreement after marathon talks.
+Archaeologists unearthed a remarkably well-preserved mosaic beneath the forum.
+Prosecutors alleged that the defendants orchestrated an elaborate scheme.
+The orchestra's rendition of the symphony drew a standing ovation.
+The spacecraft successfully docked with the orbiting laboratory.
+Municipal authorities unveiled a plan to refurbish the dilapidated waterfront.
+Wholesale electricity prices surged amid unseasonably cold temperatures.
+The museum's retrospective exhibition features unseen manuscripts.
+The novelist's posthumously published memoir topped the bestseller list.
+Diplomats shuttled between the capitals to de-escalate the standoff.
+It is a truth universally acknowledged, that a single man in possession
+of a good fortune, must be in want of a wife. Call me Ishmael. In a hole
+in the ground there lived a hobbit. It was a bright cold day in April,
+and the clocks were striking thirteen. Mrs. Dalloway said she would buy
+the flowers herself.
+"""
+
+
+def test_round5_prose_zero_oov():
+    """The round-5 news + literary sweep resolves entirely in-lexicon."""
+    assert oov_words(ROUND5_PROSE) == []

@@ -508,8 +508,54 @@ def _assign_stress(word: str, pron: str) -> str:
     return "".join(p for p, _ in phones)
 
 
+# -ed / -ing stems whose spelling dropped a silent e take the magic-e reading
+# ("inscrib(e)d" -> aɪ). Final t/n/r/l/m/p after a single vowel usually marks
+# an unstressed short syllable instead (visit, open, offer, gallop), so those
+# fall through to the plain stem reading.
+_EDROP_STEM = re.compile(r"(?<![aeiouy])[aiouy][bdgkvzc]$")
+
+
 def _rule_g2p(word: str) -> str:
-    """Letter-to-sound fallback for out-of-lexicon words, with stress."""
+    """Letter-to-sound fallback for out-of-lexicon words, with stress.
+
+    OOV inflected forms peel the -s/-ed/-ing suffix and read the stem
+    through the LTS rules plus the same suffix phonology the lexicon
+    morphology uses (voicing assimilation), never the spelling literally:
+    "shards" must end z, "inscribed" must not read -bɛd."""
+    w = word.lower().replace("'", "")
+    stem, tail = None, ""
+    if len(w) > 4 and not w.endswith(("ated", "ating")):  # those reduce: eɪtəd
+        if w.endswith("ies"):
+            stem, tail = w[:-3] + "y", "z"
+        elif w.endswith("es") and (w[-3:-2] in ("s", "z", "x") or w[-4:-2] in ("ch", "sh")):
+            stem, tail = w[:-2], "əz"
+        elif w.endswith("s") and not w.endswith(("ss", "us", "is", "os")):
+            return _suffix_s(_rule_g2p(w[:-1]))  # recurse: "buildings" peels twice
+        elif w.endswith("eed"):
+            stem, tail = w[:-1], "d"
+        elif w.endswith("ied"):
+            stem, tail = w[:-3] + "y", "d"
+        elif w.endswith("ed"):
+            s = w[:-2]
+            if len(s) > 2 and s[-1] == s[-2] and s[-1] not in "aeiou":
+                s = s[:-1]  # blogged -> blog
+            elif _EDROP_STEM.search(s):
+                s = s + "e"  # inscrib -> inscribe (magic-e applies)
+            flat = _rule_g2p_flat(s)
+            return _assign_stress(s, flat) + _suffix_ed(flat)[len(flat):]
+        elif w.endswith("ing") and w[-4:-3] not in "aeiou":
+            s = w[:-3]
+            if len(s) > 2 and s[-1] == s[-2] and s[-1] not in "aeiou":
+                s = s[:-1]
+            elif _EDROP_STEM.search(s):
+                s = s + "e"
+            stem, tail = s, "ɪŋ"
+    if stem is not None:
+        flat = _rule_g2p_flat(stem)
+        out = _assign_stress(stem, flat)
+        if tail == "z":
+            tail = _suffix_s(flat)[len(flat):]
+        return out + tail
     flat = _rule_g2p_flat(word)
     return _assign_stress(word.lower(), flat)
 

@@ -610,3 +610,35 @@ the flowers herself.
 def test_round5_prose_zero_oov():
     """The round-5 news + literary sweep resolves entirely in-lexicon."""
     assert oov_words(ROUND5_PROSE) == []
+
+
+def test_lts_inflection_peeling():
+    """OOV inflected forms peel -s/-ed/-ing and apply suffix phonology
+    (voicing assimilation, magic-e stem restoration) instead of reading
+    the spelling literally. Nonce words so the lexicon can't shadow the
+    LTS path (round-5 fix: 'shards' ended unvoiced s, 'inscribed' read
+    -bɛd)."""
+    # plural voicing: z after voiced, s after voiceless, əz after sibilant
+    assert _rule_g2p("blards").endswith("dz")
+    assert _rule_g2p("plunts").endswith("ts")
+    assert _rule_g2p("glitches").endswith("ʧəz")
+    assert _rule_g2p("snazzes").endswith("zəz")
+    # -ed: magic-e stem restoration and voicing
+    assert _rule_g2p("scribed").endswith("aɪbd")   # e-drop stem -> long i
+    assert _rule_g2p("plogged") == "plɑgd"         # undoubled short stem
+    assert _rule_g2p("clumped").endswith("mpt")    # voiceless -> t
+    assert _rule_g2p("blented").endswith("təd")    # t/d -> əd
+    # -ing: same stem logic, single ɪŋ syllable
+    assert _rule_g2p("scribing").endswith("aɪbɪŋ")
+    assert _rule_g2p("plogging").endswith("ɑgɪŋ")
+    assert "ɛd" not in _rule_g2p("inscribed")
+
+
+def test_round5_late_sweep_entries():
+    """Words surfaced by the round-5 late prose sweep resolve correctly."""
+    assert english_to_ipa("tantalizing") == "ˈtæntəˌlaɪzɪŋ"
+    assert english_to_ipa("inscribed") == "ɪnˈskraɪbd"
+    assert english_to_ipa("plaintive") == "ˈpleɪntɪv"
+    assert english_to_ipa("shards") == "ʃɑrdz"
+    assert english_to_ipa("midfielders") == "ˈmɪdˌfildərz"
+    assert english_to_ipa("inflationary") == "ɪnˈfleɪʃəˌnɛri"

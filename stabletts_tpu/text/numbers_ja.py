@@ -265,8 +265,13 @@ def _protected_words():
 def _kanji_numerals_to_arabic(text: str) -> str:
     def repl(m: re.Match) -> str:
         end = m.end()
-        if text[m.start():end + 1] in _KANJI_NUM_EXCEPTIONS:
-            return m.group(0)
+        span = text[m.start():end + 1]
+        if span in _KANJI_NUM_EXCEPTIONS:
+            # ...except in a date context: 〜月一日 is the first of the
+            # month (ついたち via the _DAY table), not いちにち
+            if not (span == "一日" and m.start() > 0
+                    and text[m.start() - 1] == "月"):
+                return m.group(0)
         # containment requires start k in [end-len(w), m.start()]; test
         # those positions directly (str.find's first hit in the window can
         # miss a later containing occurrence when the word repeats nearby)

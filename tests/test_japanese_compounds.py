@@ -250,3 +250,32 @@ def test_single_mora_elements_never_geminate():
     # while real gemination still applies
     got = japanese_to_romaji_with_accent("学校")
     assert "Qk" in got, got
+
+
+def test_round5_late_sweep_readings():
+    """Misreadings surfaced by the round-5 late probe sweep: lexicalized
+    りき/げ/ま/まい variant readings, 献立/丈夫, and 〜中 duration words."""
+    from stabletts_tpu.text.japanese import japanese_to_romaji_with_accent
+
+    cases = [
+        ("怪力", "kairiki"), ("外科", "geka"), ("意地悪", "ijiwaru"),
+        ("客間", "kyakuma"), ("仮病", "kebyou"), ("新米", "shiNmai"),
+        ("白米", "hakumai"), ("献立", "koNdate"), ("丈夫", "joubu"),
+        ("一日中", "ichinichijuu"), ("一晩中", "hitobaNjuu"),
+        ("一年中", "ichineNjuu"),
+    ]
+    for surface, want in cases:
+        got = japanese_to_romaji_with_accent(surface)
+        flat = (got.replace("↑", "").replace("↓", "").lower()
+                .replace("ʃ", "sh").replace("ʧ", "ch").replace("n", "n"))
+        assert flat == want.lower(), (surface, got, want)
+
+
+def test_first_of_month_dates():
+    """一日 is いちにち standalone but ついたち after 〜月 (date context)."""
+    from stabletts_tpu.text.japanese import japanese_to_romaji_with_accent
+
+    got = japanese_to_romaji_with_accent("一月一日")
+    assert "tsuita" in got.replace("↑", "").replace("↓", "").lower(), got
+    got = japanese_to_romaji_with_accent("一日")
+    assert "nichi" in got.replace("↑", "").replace("↓", "").replace("ʧ", "ch").lower(), got

@@ -97,6 +97,11 @@ def lazy_pinyin_tone3(word: str) -> List[str]:
         if matched:
             continue
         ch = word[i]
-        out.append(chars.get(ch, ch))
+        # measure-word 只 after a numeral is zhi1 (一只/两只/几只), the one
+        # bound reading jieba's numeral+classifier tokens leave per-char
+        if ch == "只" and i > 0 and word[i - 1] in "一二三四五六七八九十百千几两每":
+            out.append("zhi1")
+        else:
+            out.append(chars.get(ch, ch))
         i += 1
     return out

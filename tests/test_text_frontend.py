@@ -242,3 +242,30 @@ def test_router_sentence_context_for_kanji():
     out2 = "".join(auto_g2p("你好。こんにちは。"))
     assert out2.startswith("n3")  # zh sentence stays Chinese
     assert "konn^i" in out2.replace("↑", "").replace("↓", "")
+
+
+def test_standalone_polyphone_defaults():
+    """A polyphone left standalone by jieba reads its free-word form (the
+    first reading in pypinyin's single-char dict, which the reference
+    produces), not the bound-morpheme form that dominates the phrase
+    dictionary: 大家都好 is dou1, never du1 (round-5 fix)."""
+    from stabletts_tpu.text.pinyin import lazy_pinyin_tone3
+
+    def syls(s):
+        return lazy_pinyin_tone3(s)
+
+    assert "dou1" in syls("大家都好")
+    assert "hai2" in syls("我还没吃饭")
+    assert "ceng2" in syls("他曾说过")
+    assert "cang2" in syls("别把钱藏起来")
+    assert "geng4" in syls("天气更热了")
+    assert "jiang1" in syls("我将出发")
+    assert "zhi3" in syls("你只需要休息")
+    assert "qie1" in syls("先切菜")
+    # the bound-morpheme readings still come from the phrase dictionary
+    assert "du1" in syls("首都的都市")
+    assert "huan2" in syls("归还")
+    assert "zang4" in syls("西藏")
+    # numeral + classifier 只 is zhi1 even though standalone 只 is zhi3
+    assert syls("一只猫") == ["yi1", "zhi1", "mao1"]
+    assert "zhi1" in syls("两只鸟")

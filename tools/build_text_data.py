@@ -37,6 +37,25 @@ def load_phrase_dicts():
     return total
 
 
+# The phrase-majority vote biases a polyphone's default toward its
+# bound-morpheme reading (都 -> du1 because 首都/都市-class phrases dominate
+# the dictionary), but a char left STANDALONE by jieba is usually the free
+# word — adverb/verb — whose reading pypinyin's own single-char dict lists
+# first and the reference therefore produces. Curated overrides for the
+# common cases (pypinyin pinyin_dict first readings).
+STANDALONE_OVERRIDES = {
+    "都": "dou1",  # adverb "all" (du1 stays via 首都/都市 phrases)
+    "还": "hai2",  # adverb "still" (huan2 via 还钱/归还 phrases)
+    "曾": "ceng2",  # adverb "once" (zeng1 via 曾孙/曾祖 phrases)
+    "藏": "cang2",  # verb "hide" (zang4 via 西藏/宝藏 phrases)
+    "更": "geng4",  # adverb "more" (geng1 via 更新/三更 phrases)
+    "将": "jiang1",  # preposition (jiang4 via 大将/将领 phrases)
+    "应": "ying1",  # 应该-class (ying4 via 反应/应用 phrases)
+    "切": "qie1",  # verb "cut" (qie4 via 一切/亲切 phrases)
+    "只": "zhi3",  # adverb "only" (zhi1 via 一只/船只 phrases)
+}
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     phrases = load_phrase_dicts()
@@ -62,6 +81,7 @@ def main():
     with open(f"{OUT}/pinyin_chars.tsv", "w", encoding="utf-8") as f:
         for ch in sorted(char_votes):
             syl, _ = char_votes[ch].most_common(1)[0]
+            syl = STANDALONE_OVERRIDES.get(ch, syl)
             f.write(ch + "\t" + syl + "\n")
     print(f"wrote {len(char_votes)} single-char readings")
 

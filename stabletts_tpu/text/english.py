@@ -314,6 +314,7 @@ _LTS_SUFFIX_PHONES = [
     ("ment", "mənt"), ("ness", "nəs"), ("ful", "fəl"), ("less", "ləs"),
     ("ism", "ˌɪzəm"), ("able", "əbəl"), ("ible", "əbəl"),
     ("ance", "əns"), ("ence", "əns"), ("ant", "ənt"), ("ent", "ənt"),
+    ("ive", "ɪv"),
     ("age", "ɪʤ"), ("ium", "iəm"), ("ial", "iəl"), ("ual", "uəl"),
     ("al", "əl"), ("um", "əm"),
 ]

@@ -642,3 +642,41 @@ def test_round5_late_sweep_entries():
     assert english_to_ipa("shards") == "ʃɑrdz"
     assert english_to_ipa("midfielders") == "ˈmɪdˌfildərz"
     assert english_to_ipa("inflationary") == "ɪnˈfleɪʃəˌnɛri"
+
+
+ROUND5_PROSE_2 = """
+Whisk together the flour, baking soda, and a teaspoon of cardamom, then
+knead the dough until it is elastic and slightly tacky. The quarterback
+threw an interception in overtime, and the linebacker returned it sixty
+yards for the winning touchdown. The senator filibustered the
+appropriations bill, while lobbyists crowded the rotunda whispering about
+amendments and earmarks. The sommelier recommended a crisp riesling with
+the scallops, followed by a robust cabernet alongside the braised venison.
+The glacier calved enormous icebergs into the fjord, a spectacle the
+kayakers photographed from a prudent distance. Paramedics stabilized the
+hiker's fractured femur before the helicopter winched the stretcher
+through the ravine's updraft. Monks illuminated the manuscript with gilded
+initials, grinding lapis lazuli and vermilion for the marginalia. The
+soprano's coloratura dazzled the critics, though the baritone earned the
+evening's longest ovation for his aria. The pediatrician reassured the
+parents that the toddler's fever was a routine virus, prescribing fluids
+and acetaminophen. The barista steamed oat milk into a rosetta atop the
+espresso, while the pastry case displayed croissants, eclairs, and
+macarons. Insurgents ambushed the convoy near the checkpoint, and the
+garrison responded with mortars until reinforcements arrived at dusk.
+The orthodontist tightened the braces and warned that skipping the
+retainer would undo eighteen months of alignment. The mycologist
+identified chanterelles and porcini in the basket but confiscated the
+deadly amanita the forager had misjudged. Falconers released the peregrine
+above the grouse moor, and the raptor stooped at breathtaking velocity
+toward the decoy. Submariners endured weeks beneath the ice pack,
+navigating by inertial guidance between sonar pings. Astronauts jettisoned
+the depleted module before the capsule's ablative heat shield seared
+through reentry plasma.
+"""
+
+
+def test_round5_prose_2_zero_oov():
+    """Second round-5 sweep (cooking/sports/politics/music/medicine/nature
+    registers) resolves entirely in-lexicon."""
+    assert oov_words(ROUND5_PROSE_2) == []

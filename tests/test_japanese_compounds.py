@@ -279,3 +279,26 @@ def test_first_of_month_dates():
     assert "tsuita" in got.replace("↑", "").replace("↓", "").lower(), got
     got = japanese_to_romaji_with_accent("一日")
     assert "nichi" in got.replace("↑", "").replace("↓", "").replace("ʧ", "ch").lower(), got
+
+
+def test_round5_sentence_sweep_fixes():
+    """Round-5 news-sentence sweep: bare continuative stems (終え/固め/伴い),
+    無事=ぶじ, 相次ぐ, financial 市場=しじょう, and false gemination across
+    word boundaries (血液検査, 輸出関連株)."""
+    from stabletts_tpu.text.japanese import japanese_to_romaji_with_accent
+
+    def flat(s):
+        return (japanese_to_romaji_with_accent(s)
+                .replace("↑", "").replace("↓", "").lower()
+                .replace("ʃ", "sh").replace("ʧ", "ch"))
+
+    assert "katameta" in flat("方針を固めた")
+    assert "tomonai" in flat("接近に伴い")
+    assert flat("滞在を終え").endswith("oe")
+    assert "buji" in flat("無事帰還した")
+    assert "aitsuide" in flat("相次いでいる")
+    assert "shijou" in flat("株式市場")
+    assert "ketsuekike" in flat("血液検査")     # no えっけ gemination
+    assert "yushutsuka" in flat("輸出関連株")   # no しゅっか gemination
+    assert "fumae" in flat("結果を踏まえ")
+    assert "mukae" in flat("開幕を迎え")

@@ -210,6 +210,35 @@ def _is_kanji(ch: str) -> bool:
     return 0x4E00 <= ord(ch) <= 0x9FFF or ch == "々"
 
 
+# continuative (i-row) kana -> dictionary-form (u-row) kana of the same
+# consonant, for okurigana-echo trimming
+_IROW_TO_UROW = {"い": "う", "き": "く", "ぎ": "ぐ", "し": "す", "ち": "つ",
+                 "に": "ぬ", "ひ": "ふ", "び": "ぶ", "み": "む", "り": "る"}
+
+
+def _trim_okurigana(kun: str, following: str) -> str:
+    """Kun readings are stored in their noun/continuative spelling (担 ->
+    にない for 担い手); when the surface supplies its own okurigana (担う)
+    the echoed tail must come off or it doubles (にな_いう_). Strip the
+    longest kun suffix the upcoming kana re-spell, allowing the final
+    continuative i-row kana to stand for its u-row dictionary form:
+    にない+う -> にな+う, ふくらみ+らむ -> ふく+らむ, おとずれ+れる ->
+    おとず+れる, まつり+り -> まつ+り, あかり+るい -> あか+るい."""
+    for L in range(min(len(kun) - 1, len(following)), 0, -1):
+        tail, head = kun[-L:], following[:L]
+        ok = True
+        for k, (a, b) in enumerate(zip(tail, head)):
+            if a == b:
+                continue
+            if k == L - 1 and _IROW_TO_UROW.get(a) == b:
+                continue
+            ok = False
+            break
+        if ok:
+            return kun[:-L]
+    return kun
+
+
 def _is_kana(ch: str) -> bool:
     o = ord(ch)
     return 0x3041 <= o <= 0x309F or 0x30A1 <= o <= 0x30FF or ch == _CHOUON
@@ -573,9 +602,16 @@ def _segment(sentence: str) -> List[Tuple[List[str], int]]:
                 # suffix kanji/word after an all-kanji word: 研究 + 所
                 set_compound(comp_elems + [(items[0][0], items[0][2])])
             elif len(items) == 1:
-                # isolated kanji: isolated (kun) reading, own phrase
+                # isolated kanji: isolated (kun) reading, own phrase;
+                # trim the okurigana echo against the upcoming kana run
                 flush()
-                current = kana_to_moras(items[0][1])
+                reading = items[0][1]
+                k = j
+                while k < n and k - j < 4 and 0x3041 <= ord(sentence[k]) <= 0x309F:
+                    k += 1
+                if k > j:
+                    reading = _trim_okurigana(reading, sentence[j:k])
+                current = kana_to_moras(reading)
                 current_accent = 0
                 has_head = True
                 comp_elems = [(items[0][0], items[0][1])]

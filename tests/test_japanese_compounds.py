@@ -302,3 +302,41 @@ def test_round5_sentence_sweep_fixes():
     assert "yushutsuka" in flat("輸出関連株")   # no しゅっか gemination
     assert "fumae" in flat("結果を踏まえ")
     assert "mukae" in flat("開幕を迎え")
+
+
+def test_okurigana_echo_trimming():
+    """Kun readings stored as noun/continuative spellings must not double
+    when the surface supplies okurigana: 担う is になう (never にないう),
+    膨らむ is ふくらむ, 訪れる is おとずれる; alternative okurigana
+    spellings resolve too (祭り, 明るい)."""
+    from stabletts_tpu.text.japanese import _trim_okurigana
+
+    assert _trim_okurigana("にない", "う") == "にな"
+    assert _trim_okurigana("ふくらみ", "らむ") == "ふく"
+    assert _trim_okurigana("おとずれ", "れる") == "おとず"
+    assert _trim_okurigana("まつり", "り") == "まつ"
+    assert _trim_okurigana("あかり", "るい") == "あか"
+    # no trim when there is no echo
+    assert _trim_okurigana("やま", "をのぼる") == "やま"
+    assert _trim_okurigana("あか", "いぬ") == "あか"
+
+
+def test_round5_verb_fallback_readings():
+    """Verbs surfaced by the round-5 conversational sweep read correctly
+    whether from the word dictionary or the trimmed kanji fallback."""
+    from stabletts_tpu.text.japanese import japanese_to_romaji_with_accent
+
+    def flat(s):
+        return (japanese_to_romaji_with_accent(s)
+                .replace("↑", "").replace("↓", "").lower()
+                .replace("ʃ", "sh").replace("ʧ", "ch").replace(" ", ""))
+
+    for surface, want in [
+        ("町を訪れる", "otozureru"), ("チームを率いる", "hikiiru"),
+        ("基準を設ける", "moukeru"), ("物価を抑える", "osaeru"),
+        ("役割を担う", "ninau"), ("赤字を補う", "oginau"),
+        ("記録に挑む", "idomu"), ("需要が膨らむ", "fukuramu"),
+        ("条件が整う", "totonou"), ("健康を損なう", "sokonau"),
+        ("急須", "kyuusu"), ("流暢", "ryuuchou"), ("大笑い", "oowarai"),
+    ]:
+        assert want in flat(surface), (surface, flat(surface))

@@ -291,6 +291,12 @@ def verbalize_numbers(text: str) -> str:
     converted to arabic so the same counter reader (and its sound
     changes) applies."""
     text = text.translate(_FULLWIDTH)
+    # currency sigils become trailing counter words ($19.99 -> 19.99ドル)
+    # so the number reader handles them like any other counter
+    for sigil, unit in (("$", "ドル"), ("€", "ユーロ"), ("£", "ポンド"),
+                        ("¥", "円"), ("￥", "円")):
+        text = re.sub(re.escape(sigil) + r"([0-9][0-9.,]*)",
+                      r"\1" + unit, text)
     text = _kanji_numerals_to_arabic(text)
 
     def repl(m: re.Match) -> str:

@@ -59,13 +59,10 @@ def auto_g2p(text: str) -> List[str]:
         if not gap.strip():
             return
         # digits belong to the surrounding language — a '5' inside an English
-        # sentence must be verbalized in English, not read as Mandarin 'wu3'.
-        # The japanese g2p has no number verbalizer, so digit spans adjacent
-        # to kana route through chinese (kanji-numeral reading convention).
+        # sentence must be verbalized in English, not read as Mandarin 'wu3';
+        # next to kana it goes through the Japanese number verbalizer.
         if re.search(r"[0-9]", gap):
             lang = prev_lang or next_lang or "en"
-            if lang == "ja":
-                lang = "zh"
             phones.extend(g2p[lang](gap))
         else:
             # bare punctuation: chinese normalization handles both CJK and
@@ -88,12 +85,29 @@ def auto_g2p(text: str) -> List[str]:
         return lang
 
     phones: List[str] = []
-    pos = 0
     langs = [span_lang(m) for m in matches]
+    # Coalesce adjacent same-language spans into ONE g2p call: the span
+    # regex cuts 新しい into 新|しい and 会議は into 会議|は, and a split
+    # call loses the okurigana/particle context (は must read わ). A
+    # digits-only gap between two Japanese spans is glued in as well so
+    # 1,500円 reaches the Japanese number verbalizer whole.
+    digit_glue = re.compile(r"^[0-9][0-9.,:%/+\-〜~]*$")
+    groups: List[List[object]] = []  # [lang, start, end]
     for i, m in enumerate(matches):
-        prev_lang = langs[i - 1] if i else None
-        route_gap(text[pos : m.start()], prev_lang, langs[i])
-        phones.extend(g2p[langs[i]](m.group()))
-        pos = m.end()
-    route_gap(text[pos:], langs[-1] if matches else None, None)
+        if groups:
+            plang, pstart, pend = groups[-1]
+            gap = text[pend : m.start()]
+            if plang == langs[i] and (
+                not gap or (langs[i] == "ja" and digit_glue.match(gap))
+            ):
+                groups[-1][2] = m.end()
+                continue
+        groups.append([langs[i], m.start(), m.end()])
+    pos = 0
+    for i, (lang, start, end) in enumerate(groups):
+        prev_lang = groups[i - 1][0] if i else None
+        route_gap(text[pos:start], prev_lang, lang)
+        phones.extend(g2p[lang](text[start:end]))
+        pos = end
+    route_gap(text[pos:], groups[-1][0] if groups else None, None)
     return phones

@@ -269,3 +269,31 @@ def test_standalone_polyphone_defaults():
     # numeral + classifier 只 is zhi1 even though standalone 只 is zhi3
     assert syls("一只猫") == ["yi1", "zhi1", "mao1"]
     assert "zhi1" in syls("两只鸟")
+
+
+def test_router_merges_adjacent_spans():
+    """The span regex cuts kana-led words at the kanji boundary (新|しい,
+    会議|は); the router must re-merge adjacent same-language spans so
+    okurigana and particles keep their context (round-5 fix: は before an
+    English span read 'ha')."""
+    from stabletts_tpu.text.router import auto_g2p
+
+    out = "".join(str(p) for p in auto_g2p("I bought a 新しい smartphone."))
+    assert "taɾaʃi" in out          # あたらしい, not しんしい
+    out = "".join(str(p) for p in auto_g2p("会議はat 3pm."))
+    assert "wa" in out and "giha" not in out
+
+
+def test_router_digits_in_japanese_context():
+    """Digit gaps between Japanese spans go through the Japanese number
+    verbalizer (1,500円 -> せんごひゃくえん), never Mandarin."""
+    from stabletts_tpu.text.router import auto_g2p
+
+    out = "".join(str(p) for p in auto_g2p("価格は1,500円(税込)です。"))
+    assert "seŋgoçakɯ" in out or "sengohyaku" in out, out
+    out = "".join(str(p) for p in auto_g2p("この商品は$19.99で販売中です。"))
+    assert "dʑɯ" in out and "sh2" not in out, out
+    assert "$" not in out
+    # a digit gap in an English sentence still reads English
+    out = "".join(str(p) for p in auto_g2p("He paid 50 dollars."))
+    assert "fɪfti" in out

@@ -26,7 +26,7 @@ import re
 import unicodedata
 from typing import Dict, List, Optional
 
-from stabletts_tpu.text.numbers_en import normalize_numbers
+from stabletts_tpu.text.numbers_en import expand_units, normalize_numbers
 
 _abbreviations = [
     (re.compile(rf"\b{abbr}\.", re.IGNORECASE), expansion)
@@ -585,6 +585,11 @@ def asciify(text: str) -> str:
     stripping would silently lose 'pounds' (reference keeps it via
     its _pounds_re, text/english.py:147)."""
     text = re.sub(r"£([0-9\,]*[0-9]+(?:\.[0-9]+)?)", _expand_pounds, text)
+    # degree signs are verbalized before NFKD strips them ('25°C' must not
+    # collapse to a dead '25C')
+    text = re.sub(r"°\s*C\b", " degrees Celsius", text)
+    text = re.sub(r"°\s*F\b", " degrees Fahrenheit", text)
+    text = re.sub(r"(?<=[0-9])°", " degrees", text)
     decomposed = unicodedata.normalize("NFKD", text)
     return "".join(c for c in decomposed if ord(c) < 128)
 
@@ -663,7 +668,7 @@ def mark_dark_l(text: str) -> str:
 
 
 def english_to_ipa(text: str) -> str:
-    text = asciify(text).lower()
+    text = expand_units(asciify(text)).lower()
     text = expand_symbols(text)
     text = expand_abbreviations(text)
     text = normalize_numbers(text)

@@ -139,6 +139,49 @@ def _expand_number(m: re.Match) -> str:
     return number_to_words(num)
 
 
+# measurement abbreviations after a number read as unit words (the
+# reference leaves them to be starred/dropped as OOV: 'kg' would reach the
+# model as dead letters). Case-sensitive on purpose: MB != mb context.
+_UNITS = {
+    "kg": ("kilogram", "kilograms"), "km": ("kilometer", "kilometers"),
+    "cm": ("centimeter", "centimeters"), "mm": ("millimeter", "millimeters"),
+    "ml": ("milliliter", "milliliters"), "mg": ("milligram", "milligrams"),
+    "ms": ("millisecond", "milliseconds"), "ft": ("foot", "feet"),
+    "lb": ("pound", "pounds"), "lbs": ("pounds", "pounds"),
+    "oz": ("ounce", "ounces"), "mph": ("miles per hour", "miles per hour"),
+    "fps": ("frames per second", "frames per second"),
+    "kph": ("kilometers per hour", "kilometers per hour"),
+    "Hz": ("hertz", "hertz"), "kHz": ("kilohertz", "kilohertz"),
+    "MHz": ("megahertz", "megahertz"), "GHz": ("gigahertz", "gigahertz"),
+    "KB": ("kilobyte", "kilobytes"), "kB": ("kilobyte", "kilobytes"),
+    "MB": ("megabyte", "megabytes"), "GB": ("gigabyte", "gigabytes"),
+    "TB": ("terabyte", "terabytes"), "kW": ("kilowatt", "kilowatts"),
+    "MW": ("megawatt", "megawatts"),
+    "K": ("thousand", "thousand"), "M": ("million", "million"),
+    "B": ("billion", "billion"),
+}
+_units_re = re.compile(
+    r"([0-9][0-9.,]*)[  ]*("
+    + "|".join(sorted(_UNITS, key=len, reverse=True))
+    + r")(?![A-Za-z0-9])"
+)
+
+
+def _expand_units(m: re.Match) -> str:
+    num, unit = m.groups()
+    sing, plur = _UNITS[unit]
+    return num + " " + (sing if num.rstrip(".,") == "1" else plur)
+
+
+def expand_units(text: str) -> str:
+    """Case-sensitive unit expansion. Must run BEFORE the cleaner lowercases
+    (english_to_ipa), or MB/GHz/K arrive as unrecognizable 'mb'/'ghz'/'k';
+    the lowercase-stable units (kg, ml, ft, ...) are also caught again
+    inside normalize_numbers for direct callers."""
+    return re.sub(_units_re, _expand_units, text)
+
+
+_minus_re = re.compile(r"(^|[\s(\[])[-−](?=[0-9])")
 _percent_re = re.compile(r"([0-9])\s*%")
 _hash_number_re = re.compile(r"#\s*([0-9])")
 # ':' guards: a candidate preceded or followed by ':' is part of an
@@ -176,14 +219,32 @@ def normalize_numbers(text: str) -> str:
     even though the reference drops them at sequence time — '% ' and '#'
     are not in the symbol table, so leaving them would silently lose
     'percent' / 'number' from the audio."""
-    text = re.sub(_comma_number_re, lambda m: m.group(1).replace(",", ""), text)
+    # currency amounts keep their comma-stripped numeric path
+    text = re.sub(r"([$£][0-9]{1,3}(?:,[0-9]{3})+)",
+                  lambda m: m.group(1).replace(",", ""), text)
     text = re.sub(_pounds_re, r"\1 pounds", text)
     text = re.sub(_dollars_re, _expand_dollars, text)
+    text = re.sub(_units_re, _expand_units, text)
+    # a comma-GROUPED number is never a year: read it as a plain cardinal
+    # instead of letting _expand_number's 1000..3000 pair-reading fire
+    # ('1,540 km' must not read 'fifteen forty'); plain '1540' keeps the
+    # reference's year-style reading
+    text = re.sub(r"\b[0-9]{1,3}(?:,[0-9]{3})+\b",
+                  lambda m: number_to_words(int(m.group(0).replace(",", ""))),
+                  text)
+    # odd comma groupings just lose their commas (reference behavior)
+    text = re.sub(_comma_number_re, lambda m: m.group(1).replace(",", ""), text)
+    text = re.sub(_minus_re, r"\1minus ", text)
     text = re.sub(_percent_re, r"\1 percent", text)
     text = re.sub(_hash_number_re, r"number \1", text)
     text = re.sub(_hms_re, _expand_hms, text)
     text = re.sub(_time_re, _expand_time, text)
-    text = re.sub(_decimal_number_re, lambda m: m.group(1).replace(".", " point "), text)
+    for _ in range(3):  # versions chain decimals: 2.0.1 -> two point zero point one
+        new = re.sub(_decimal_number_re,
+                     lambda m: m.group(1).replace(".", " point "), text)
+        if new == text:
+            break
+        text = new
     text = re.sub(_ordinal_re, lambda m: ordinal_to_words(m.group(0)), text)
     text = re.sub(_number_re, _expand_number, text)
     return text

@@ -297,3 +297,26 @@ def test_router_digits_in_japanese_context():
     # a digit gap in an English sentence still reads English
     out = "".join(str(p) for p in auto_g2p("He paid 50 dollars."))
     assert "fɪfti" in out
+
+
+def test_english_units_and_signed_numbers():
+    """Measurement abbreviations read as unit words with number agreement,
+    cased units survive the lowercasing pipeline, comma-grouped numbers are
+    cardinals (never year-style), minus signs and degree marks verbalize,
+    and dotted versions chain 'point' (round-5 fixes)."""
+    from stabletts_tpu.text.english import english_to_ipa
+
+    out = english_to_ipa("a 10 MB file at 5 GHz")
+    assert "ˈmɛgəˌbaɪts" in out and "ˈgɪgəˌhərts" in out
+    out = english_to_ipa("1 kg and 6 lbs")
+    assert "ˈkɪləˌgræm " in out and "paʊndz" in out  # singular after 1
+    out = english_to_ipa("1,540 km")
+    assert "ˈθaʊzənd" in out and "fɪfˈtin" not in out
+    out = english_to_ipa("in 1999")
+    assert "ˈnaɪnti" in out and "ˈθaʊzənd" not in out  # year reading kept
+    out = english_to_ipa("-5°C outside")
+    assert "ˈmɪnəs faɪv dɪˈgriz ˈsɛlsiəs" in out
+    out = english_to_ipa("version 2.0.1")
+    assert out.count("pɔɪnt") == 2
+    out = english_to_ipa("a 5K race in 31M steps")
+    assert "ˈθaʊzənd" in out and "ˈmɪljən" in out

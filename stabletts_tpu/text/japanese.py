@@ -527,8 +527,15 @@ def _segment(sentence: str) -> List[Tuple[List[str], int]]:
         # longest dictionary word — but a single-kanji word does not win
         # when a Sino compound is forming around it (an active all-kanji
         # stem before it, or more kanji after it): 体力 must not split as
-        # からだ+りょく, 研究|所 must not read 所 as ところ
-        matched = match_word(i, allow_kana=not current)
+        # からだ+りょく, 研究|所 must not read 所 as ところ.
+        # Kana-only words normally match only at a phrase start, but a
+        # FRESH katakana run mid-phrase is strong word-boundary evidence
+        # (a loanword after a particle: コンビニで|アイスクリーム) — let it
+        # match so the loanword keeps its dictionary accent.
+        kat_start = (0x30A1 <= ord(sentence[i]) <= 0x30FF) and (
+            i == 0 or not (0x30A1 <= ord(sentence[i - 1]) <= 0x30FF)
+        )
+        matched = match_word(i, allow_kana=(not current) or kat_start)
         if matched and len(matched) == 1 and _is_kanji(matched):
             if (comp_elems and current) or (
                 i + 1 < n and _is_kanji(sentence[i + 1])

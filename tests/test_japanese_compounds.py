@@ -340,3 +340,15 @@ def test_round5_verb_fallback_readings():
         ("急須", "kyuusu"), ("流暢", "ryuuchou"), ("大笑い", "oowarai"),
     ]:
         assert want in flat(surface), (surface, flat(surface))
+
+
+def test_katakana_loanword_phrases_mid_sentence():
+    """A fresh katakana run after a particle matches the word dictionary
+    and keeps its own accent phrase (アイスクリーム [5]), instead of being
+    swallowed flat into the preceding phrase."""
+    from stabletts_tpu.text.japanese import japanese_to_romaji_with_accent
+
+    out = japanese_to_romaji_with_accent("コンビニでアイスクリームを買った。")
+    assert "a↑isUkuri↓imu" in out, out
+    out = japanese_to_romaji_with_accent("喫茶店でコーヒーを飲む。")
+    assert "ko↑ohi↓i" in out, out

@@ -122,6 +122,23 @@ def _lookup(word: str, depth: int = 0) -> Optional[str]:
     def base(w: str) -> Optional[str]:
         return _lookup(w, depth + 1)
 
+    # contractions ('ve / 'll / 'd / 're on any subject, incl. OOV names)
+    if word.endswith("'ve"):
+        p = base(word[:-3])
+        if p:
+            return p + "əv"
+    if word.endswith("'ll"):
+        p = base(word[:-3])
+        if p:
+            return p + ("əl" if not p.endswith("l") else "")
+    if word.endswith("'re"):
+        p = base(word[:-3])
+        if p:
+            return p + "ər"
+    if word.endswith("'d"):
+        p = base(word[:-2])
+        if p:
+            return p + ("əd" if p.endswith(("t", "d")) else "d")
     # possessive
     if word.endswith("'s"):
         p = base(word[:-2])

@@ -680,3 +680,13 @@ def test_round5_prose_2_zero_oov():
     """Second round-5 sweep (cooking/sports/politics/music/medicine/nature
     registers) resolves entirely in-lexicon."""
     assert oov_words(ROUND5_PROSE_2) == []
+
+
+def test_have_contractions():
+    """X've contractions resolve through morphology, never LTS ('should've'
+    must not read ʃaʊldv — round-5 fix)."""
+    assert english_to_ipa("should've") == "ˈʃʊdəv"
+    assert english_to_ipa("would've") == "ˈwʊdəv"
+    assert english_to_ipa("could've") == "ˈkʊdəv"
+    assert english_to_ipa("might've") == "ˈmaɪtəv"
+    assert english_to_ipa("must've") == "ˈməstəv"

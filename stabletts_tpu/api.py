@@ -153,10 +153,15 @@ class StableTTSAPI:
                 lambda v, m, lens=None: self.vocoder_model.apply(v, m)
             )
 
+        from stabletts_tpu.text.router import auto_g2p
+
         self.g2p_mapping = {
             "chinese": chinese_to_cnm3,
             "japanese": japanese_to_ipa2,
             "english": english_to_ipa2,
+            # mixed-language routing (the working version of the reference's
+            # dead cjke auto-cleaner, text/cleaners.py:30-58)
+            "auto": auto_g2p,
         }
         self.supported_languages = self.g2p_mapping.keys()
 

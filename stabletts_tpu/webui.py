@@ -41,7 +41,7 @@ img {{ max-width: 100%; margin-top: 1em; }}
 <label>Reference audio (wav)</label><input type="file" id="ref" accept=".wav">
 <div class="row">
   <div><label>Language</label><select id="language">
-    <option>english</option><option>chinese</option><option>japanese</option></select></div>
+    <option>english</option><option>chinese</option><option>japanese</option><option>auto</option></select></div>
   <div><label>Solver</label><select id="solver">{solvers}</select></div>
 </div>
 <div class="row">

@@ -236,6 +236,12 @@ def _trim_okurigana(kun: str, following: str) -> str:
             break
         if ok:
             return kun[:-L]
+    # godan past/te gemination and nasalization: the continuative final
+    # i-row kana drops before っ/ん (買い+った -> 買った, 読み+んだ ->
+    # 読んだ, 庇い+った -> 庇った)
+    if (len(kun) >= 2 and kun[-1] in _IROW_TO_UROW
+            and following[:1] in ("っ", "ん")):
+        return kun[:-1]
     return kun
 
 

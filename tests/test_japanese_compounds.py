@@ -352,3 +352,34 @@ def test_katakana_loanword_phrases_mid_sentence():
     assert "a↑isUkuri↓imu" in out, out
     out = japanese_to_romaji_with_accent("喫茶店でコーヒーを飲む。")
     assert "ko↑ohi↓i" in out, out
+
+
+def test_okurigana_gemination_trim():
+    """A kun continuative's final i-row kana drops before っ/ん (godan
+    past through the kanji fallback): 庇った=かばった, never かばいった."""
+    from stabletts_tpu.text.japanese import _trim_okurigana
+
+    assert _trim_okurigana("かばい", "った") == "かば"
+    assert _trim_okurigana("よみ", "んだ") == "よ"
+    assert _trim_okurigana("いき", "った") == "い"
+    assert _trim_okurigana("やま", "った") == "やま"  # a-row final: no trim
+
+
+def test_round5_recipe_sports_sweep():
+    """Round-5 recipe/sports sweep fixes: 弱火, 炒める, 収める, 上る,
+    飼う, 起こす, 合わせる, 庇う, 采配."""
+    from stabletts_tpu.text.japanese import japanese_to_romaji_with_accent
+
+    def flat(s):
+        return (japanese_to_romaji_with_accent(s)
+                .replace("↑", "").replace("↓", "").lower()
+                .replace("ʃ", "sh").replace("ʧ", "ch").replace(" ", ""))
+
+    assert "yowabi" in flat("弱火で炒める")
+    assert "itame" in flat("野菜を炒める")
+    assert "osameta" in flat("勝利を収めた")
+    assert "nobo" in flat("表彰台に上った")
+    assert "kai" in flat("犬を飼い始めた")
+    assert "okosareru" in flat("毎朝起こされる")
+    assert "awase" in flat("砂糖と混ぜ合わせる")
+    assert "saihai" in flat("采配を批判された")

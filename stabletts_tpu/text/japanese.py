@@ -183,6 +183,31 @@ def _load_dicts() -> Tuple[
     return _word_dict, _kanji_dict
 
 
+_stem_dict: Optional[Dict[str, Tuple[str, str]]] = None
+
+
+def _load_stems() -> Dict[str, Tuple[str, str]]:
+    """kanji -> (okurigana stem, allowed first kana), consulted ONLY when
+    hiragana directly follows an isolated kanji AND that kana is in the
+    allowed set: 会う must read あう through the fallback while 会を keeps
+    the isolated reading かい (を after a kanji is a particle, never
+    okurigana). Derived from ja_words conjugation rows (round-5 audit)."""
+    global _stem_dict
+    if _stem_dict is None:
+        stems: Dict[str, Tuple[str, str]] = {}
+        path = os.path.join(_DATA_DIR, "ja_stems.tsv")
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as f:
+                for line in f:
+                    if line.startswith("#"):
+                        continue
+                    parts = line.rstrip("\n").split("\t")
+                    if len(parts) >= 3 and parts[0]:
+                        stems.setdefault(parts[0], (parts[1], parts[2]))
+        _stem_dict = stems
+    return _stem_dict
+
+
 def _load_bindings() -> Dict[Tuple[str, str], Tuple[str, str]]:
     global _binding_dict
     if _binding_dict is None:
@@ -623,7 +648,11 @@ def _segment(sentence: str) -> List[Tuple[List[str], int]]:
                 while k < n and k - j < 4 and 0x3041 <= ord(sentence[k]) <= 0x309F:
                     k += 1
                 if k > j:
-                    reading = _trim_okurigana(reading, sentence[j:k])
+                    base = reading
+                    stem = _load_stems().get(items[0][0])
+                    if stem is not None and sentence[j] in stem[1]:
+                        base = stem[0]
+                    reading = _trim_okurigana(base, sentence[j:k])
                 current = kana_to_moras(reading)
                 current_accent = 0
                 has_head = True

@@ -383,3 +383,23 @@ def test_round5_recipe_sports_sweep():
     assert "okosareru" in flat("毎朝起こされる")
     assert "awase" in flat("砂糖と混ぜ合わせる")
     assert "saihai" in flat("采配を批判された")
+
+
+def test_okurigana_stem_table():
+    """Unseen conjugations read through the stem table (会わせて=あわせて,
+    書ける=かける) while isolated/particle contexts keep the isolated kun
+    (会を=かいを, 上の=うえの, 話が=はなしが)."""
+    from stabletts_tpu.text.japanese import japanese_to_romaji_with_accent
+
+    def flat(s):
+        return (japanese_to_romaji_with_accent(s)
+                .replace("↑", "").replace("↓", "").lower()
+                .replace("ʃ", "sh").replace("ʧ", "ch").replace(" ", ""))
+
+    assert "awasete" in flat("会わせてください")
+    assert "kakeru" in flat("書けるようになった")
+    assert "yomaserareta" in flat("読ませられた")
+    assert "hatarakasareru" in flat("働かされる")
+    assert "kaio" in flat("会を開く")
+    assert "ueno" in flat("上の階")
+    assert "hanashiga" in flat("話がある")

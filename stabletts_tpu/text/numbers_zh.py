@@ -12,7 +12,9 @@ def _integer_to_cn(integer: str) -> str:
     integer = str(int(integer))  # strip leading zeros: 007 -> 7
     n = len(integer)
     if n > len(_UNITS):
-        raise ValueError(f"number too long: {integer}")
+        # beyond the unit table (>16 digits — ID-number territory, not a
+        # quantity): read digit-by-digit instead of crashing mid-synthesis
+        return "".join(_DIGITS[int(d)] for d in integer)
     out = ""
     for i, d in enumerate(integer):
         v = int(d)

@@ -97,3 +97,16 @@ def test_router_digits_follow_surrounding_language():
     assert "w3" not in phones and "u3" not in phones
     # 'five' in IPA contains 'f' followed by a vowel + 'v'
     assert "f" in phones and "v" in phones
+
+
+def test_huge_numbers_do_not_crash():
+    """>16-digit numbers (ID-number territory) read digit-by-digit instead
+    of raising mid-synthesis (round-5 fuzz find)."""
+    from stabletts_tpu.text.numbers_zh import an2cn
+    from stabletts_tpu.text.mandarin import chinese_to_cnm3
+    from stabletts_tpu.text.japanese import japanese_to_romaji_with_accent
+
+    out = an2cn("2557685903089544876")
+    assert out.startswith("二五五七")
+    assert chinese_to_cnm3("编号2557685903089544876号")
+    assert japanese_to_romaji_with_accent("番号2557685903089544876です")

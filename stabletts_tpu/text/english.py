@@ -684,8 +684,54 @@ def mark_dark_l(text: str) -> str:
     return re.sub(r"l([^aeiouæɑɔəɛɪʊ ]*(?: |$))", lambda x: "ɫ" + x.group(1), text)
 
 
+_ALLCAPS_RE = re.compile(r"\b[A-Z]{2,6}\b")
+_ALNUM_RE = re.compile(
+    r"\b(?!\d+(?:st|nd|rd|th)\b)(?=[A-Za-z0-9]*\d)(?=[A-Za-z0-9]*[A-Za-z])"
+    r"[A-Za-z0-9]{2,8}\b"
+)
+_WORD_NUM_RE = re.compile(r"^([A-Za-z]{3,})([0-9]+)$")
+
+
+def _spell_chars(token: str) -> str:
+    # 'A' alone would read as the article ə; 'ay' carries the letter name
+    return " ".join("ay" if c in ("A", "a") else c for c in token)
+
+
+def spell_acronyms(text: str) -> str:
+    """All-caps tokens not in the lexicon spell their letters (IBM ->
+    i b m -> aɪ bi ɛm); mixed alphanumerics spell letters and digits
+    (MP3, A1B2C3), except word+number forms whose word part is known
+    (COVID19 -> covid nineteen). Must run BEFORE lowercasing — case is
+    the acronym signal. Word-like acronyms (NASA, UNESCO) stay whole via
+    their lexicon entries."""
+    lex = _load_lexicon()
+
+    all_upper = text.isupper()
+
+    def caps(m: re.Match) -> str:
+        t = m.group(0)
+        # US/AM collide with common words: in mixed-case text, caps "US" is
+        # the country; "AM"/"PM" after a digit are meridiem markers
+        if not all_upper:
+            if t == "US":
+                return _spell_chars(t)
+            if t in ("AM", "PM") and re.search(r"\d\s*$", text[: m.start()]):
+                return _spell_chars(t)
+        return t if t.lower() in lex else _spell_chars(t)
+
+    def alnum(m: re.Match) -> str:
+        t = m.group(0)
+        wn = _WORD_NUM_RE.match(t)
+        if wn and wn.group(1).lower() in lex:
+            return wn.group(1) + " " + wn.group(2)
+        return _spell_chars(t)
+
+    text = _ALNUM_RE.sub(alnum, text)
+    return _ALLCAPS_RE.sub(caps, text)
+
+
 def english_to_ipa(text: str) -> str:
-    text = expand_units(asciify(text)).lower()
+    text = spell_acronyms(expand_units(asciify(text))).lower()
     text = expand_symbols(text)
     text = expand_abbreviations(text)
     text = normalize_numbers(text)

@@ -690,3 +690,18 @@ def test_have_contractions():
     assert english_to_ipa("could've") == "ˈkʊdəv"
     assert english_to_ipa("might've") == "ˈmaɪtəv"
     assert english_to_ipa("must've") == "ˈməstəv"
+
+
+def test_acronym_spelling():
+    """Unknown all-caps tokens spell their letters; word-like acronyms stay
+    whole via the lexicon; mixed alphanumerics spell; word+number splits;
+    US/AM disambiguate by context (round-5)."""
+    assert english_to_ipa("IBM") == "aɪ bi ɛm"
+    assert english_to_ipa("UNESCO") == "juˈnɛskoʊ"
+    assert english_to_ipa("NATO") == "ˈneɪtoʊ"
+    assert english_to_ipa("A1B2C3") == "eɪ wən bi tu si θri"
+    assert english_to_ipa("MP3") == "ɛm pi θri"
+    assert english_to_ipa("COVID19") == "ˈkoʊvɪd ˈnaɪnˈtin"
+    assert english_to_ipa("in the US") == "ɪn ðə ju ɛs"
+    assert english_to_ipa("at 3 AM") == "æt θri eɪ ɛm"
+    assert english_to_ipa("I AM HERE") == "aɪ æm hir"  # all-caps stays words

@@ -235,6 +235,11 @@ def _is_kanji(ch: str) -> bool:
     return 0x4E00 <= ord(ch) <= 0x9FFF or ch == "々"
 
 
+# honorific suffixes keep their address reading after a name, never the
+# on-compound reading (田中様 = さま, not よう)
+_HONORIFIC_SUFFIX = {"様": "さま", "殿": "どの"}
+
+
 # continuative (i-row) kana -> dictionary-form (u-row) kana of the same
 # consonant, for okurigana-echo trimming
 _IROW_TO_UROW = {"い": "う", "き": "く", "ぎ": "ぐ", "し": "す", "ち": "つ",
@@ -635,6 +640,14 @@ def _segment(sentence: str) -> List[Tuple[List[str], int]]:
                 # not kanji — the loop condition handles that
             if not items:
                 i = j if j > i else i + 1
+                continue
+            if (len(items) == 1 and comp_elems and current
+                    and items[0][0] in _HONORIFIC_SUFFIX):
+                # honorific after a name: 田中様 = たなかさま, never the
+                # on-compound reading よう; keeps the name's accent phrase
+                current.extend(kana_to_moras(_HONORIFIC_SUFFIX[items[0][0]]))
+                comp_elems = None
+                i = j
                 continue
             if len(items) == 1 and comp_elems and current:
                 # suffix kanji/word after an all-kanji word: 研究 + 所

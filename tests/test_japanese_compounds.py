@@ -403,3 +403,25 @@ def test_okurigana_stem_table():
     assert "kaio" in flat("会を開く")
     assert "ueno" in flat("上の階")
     assert "hanashiga" in flat("話がある")
+
+
+def test_business_register_sweep():
+    """Round-5 business sweep: company names, surnames, honorific suffixes,
+    and humble verbs."""
+    from stabletts_tpu.text.japanese import japanese_to_romaji_with_accent
+
+    def flat(s):
+        return (japanese_to_romaji_with_accent(s)
+                .replace("↑", "").replace("↓", "").lower()
+                .replace("ʃ", "sh").replace("ʧ", "ch").replace(" ", ""))
+
+    assert "kabushikigaisha" in flat("株式会社")
+    assert "tanaka" in flat("田中様") and "sama" in flat("田中様")
+    assert "hasegawasama" in flat("長谷川様")
+    assert "dono" in flat("田中殿")
+    assert "minasama" in flat("皆様")
+    assert "ousama" in flat("王様")
+    assert "kamisama" in flat("神様")
+    assert "youni" in flat("彼の様に")          # non-suffix 様 stays よう
+    assert "uketamawarima" in flat("承りました")
+    assert "suzuki" in flat("鈴木です")

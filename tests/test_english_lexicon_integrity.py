@@ -33,6 +33,8 @@ def test_top5k_words_resolve_in_lexicon():
 # tantum, Greek/Latin plurals, lexicalized participial adjectives, -ing
 # nouns without a verbal base). Audited by hand against the closure tool.
 CLOSURE_ALLOWLIST = {
+    # s-final proper nouns that are not plurals
+    "moines", "thames",
     # lexicalized participial adjectives / fossil forms
     "ashamed", "belated", "beloved", "cunning", "darling", "dejected",
     "disgruntled", "hackneyed", "impending", "indebted", "inexperienced",

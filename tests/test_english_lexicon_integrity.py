@@ -60,7 +60,7 @@ CLOSURE_ALLOWLIST = {
     # proper nouns
     "achilles", "ahmed", "algiers", "athens", "beijing", "boeing",
     "brahms", "bruges", "brussels", "cairns", "cervantes", "charles",
-    "chongqing", "collins", "cyclops", "descartes", "dickens", "evans",
+    "chongqing", "collins", "cyclops", "dickens", "evans",
     "flores", "hans", "hercules", "hermes", "hors", "jacques", "jones",
     "kubernetes", "lars", "massachusetts", "mercedes", "mohammed",
     "moses", "nanjing", "nantes", "naples", "netherlands", "orleans",

@@ -306,7 +306,7 @@ _LTS_RULES = [
     ("ui", "u"), ("ie", "i"), ("ei", "eɪ"), ("ey", "eɪ"),
     ("ar", "ɑr"), ("er", "ər"), ("ir", "ər"), ("ur", "ər"), ("or", "ɔr"),
     ("th", "θ"), ("sh", "ʃ"), ("ch", "ʧ"), ("ph", "f"), ("wh", "w"),
-    ("ck", "k"), ("ng", "ŋ"), ("qu", "kw"), ("gh", ""), ("kn", "n"),
+    ("ck", "k"), ("ng", "ŋ"), ("nk", "ŋk"), ("qu", "kw"), ("gh", ""), ("kn", "n"),
     ("wr", "r"), ("gn", "n"), ("ps", "s"),
     ("bb", "b"), ("dd", "d"), ("ff", "f"), ("gg", "g"), ("ll", "l"),
     ("mm", "m"), ("nn", "n"), ("pp", "p"), ("rr", "r"), ("ss", "s"),
